@@ -81,8 +81,10 @@ def quantize(
         zp = None
     elif scheme == "affine":
         qmax = 2**bits - 1
-        mn = jnp.min(blocks, axis=1)
-        mx = jnp.max(blocks, axis=1)
+        # extend the range to include zero (standard affine convention;
+        # also makes constant blocks round-trip exactly)
+        mn = jnp.minimum(jnp.min(blocks, axis=1), 0.0)
+        mx = jnp.maximum(jnp.max(blocks, axis=1), 0.0)
         scale = _safe_scale((mx - mn) / qmax)
         zp = jnp.clip(jnp.round(-mn / scale), 0, qmax)
         q = jnp.clip(jnp.round(blocks / scale[:, None]) + zp[:, None], 0, qmax)

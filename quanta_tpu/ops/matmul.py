@@ -57,25 +57,47 @@ def _expand_scales(scale_tile: jax.Array, block: int) -> jax.Array:
     )
 
 
+def _select_expand_scales(s_ref, start, tk: int, block: int) -> jax.Array:
+    """Expand scale rows [start, start + tk/block) of the full (S, TN) strip
+    to a (TK, TN) tile via a one-hot selection matmul.
+
+    Mosaic cannot prove alignment of a dynamic sublane slice when tk/block
+    is not a multiple of 8, so instead of slicing we build P (TK, S) with
+    P[r, start + r//block] = 1 and compute P @ strip on the MXU — always
+    aligned, negligible FLOPs (S = K/block is tiny).
+    """
+    s_rows = s_ref.shape[0]
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (tk, s_rows), 0) // block
+    col = jax.lax.broadcasted_iota(jnp.int32, (tk, s_rows), 1)
+    p = (col == start + row_blk).astype(jnp.float32)
+    return jnp.dot(p, s_ref[:], preferred_element_type=jnp.float32)
+
+
 # ------------------------------------------------------------- 4-bit kernel
 
 
 def _mm4_kernel(
-    x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, out_ref, acc_ref,
-    *, levels: np.ndarray, block: int, out_dtype,
+    x_lo_ref, x_hi_ref, wp_ref, s_ref, out_ref, acc_ref,
+    *, levels: np.ndarray, block: int, sb: int, s_half: int, out_dtype,
 ):
+    # s_ref holds the full (K/block, TN) scale strip for this column tile;
+    # per-K-step lo/hi slices are cut dynamically (the strip is tiny, and
+    # small blocked tiles would violate the (8, 128) min-tile rule).
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = wp_ref[:]
-    lo = (packed & 0x0F).astype(jnp.int32)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int32)
+    packed = wp_ref[:].astype(jnp.int32)  # widen before shift: Mosaic has no u8 shrui
+    lo = packed & 0x0F
+    hi = (packed >> 4) & 0x0F
 
-    w_lo = _lookup(lo, levels) * _expand_scales(s_lo_ref[:], block)
-    w_hi = _lookup(hi, levels) * _expand_scales(s_hi_ref[:], block)
+    tkp = lo.shape[0]
+    w_lo = _lookup(lo, levels) * _select_expand_scales(s_ref, k * sb, tkp, block)
+    w_hi = _lookup(hi, levels) * _select_expand_scales(
+        s_ref, k * sb + s_half, tkp, block
+    )
 
     acc_ref[:] += jnp.dot(
         x_lo_ref[:], w_lo.astype(x_lo_ref.dtype), preferred_element_type=jnp.float32
@@ -140,9 +162,11 @@ def matmul_4bit(
     grid = (m_pad // tm, n_pad // tn, k2 // tkp)
     nk_half = k2 // tkp  # block offset of the hi activation half
     sb = tkp // block  # scale rows per step
+    s_rows = scales.shape[0]  # = K / block (both halves)
 
     kernel = functools.partial(
-        _mm4_kernel, levels=levels, block=block, out_dtype=out_dtype
+        _mm4_kernel,
+        levels=levels, block=block, sb=sb, s_half=s_rows // 2, out_dtype=out_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -151,8 +175,7 @@ def matmul_4bit(
             pl.BlockSpec((tm, tkp), lambda i, j, k: (i, k)),  # x lo half
             pl.BlockSpec((tm, tkp), lambda i, j, k: (i, k + nk_half)),  # x hi
             pl.BlockSpec((tkp, tn), lambda i, j, k: (k, j)),  # packed codes
-            pl.BlockSpec((sb, tn), lambda i, j, k: (k, j)),  # scales lo
-            pl.BlockSpec((sb, tn), lambda i, j, k: (k + nk_half, j)),  # scales hi
+            pl.BlockSpec((s_rows, tn), lambda i, j, k: (0, j)),  # scale strip
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
@@ -166,7 +189,7 @@ def matmul_4bit(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, codes_packed, scales, scales)
+    )(x, x, codes_packed, scales)
     return out[:m, :n]
 
 
@@ -174,7 +197,7 @@ def matmul_4bit(
 
 
 def _mm8_kernel(
-    x_ref, w_ref, s_ref, out_ref, acc_ref, *, levels, block: int, out_dtype
+    x_ref, w_ref, s_ref, out_ref, acc_ref, *, levels, block: int, sb: int, out_dtype
 ):
     k = pl.program_id(2)
 
@@ -186,7 +209,7 @@ def _mm8_kernel(
         w = w_ref[:].astype(jnp.float32)
     else:  # 8-bit codebook (nf8/fp8)
         w = _lookup(w_ref[:].astype(jnp.int32), levels)
-    w = w * _expand_scales(s_ref[:], block)
+    w = w * _select_expand_scales(s_ref, k * sb, w.shape[0], block)
 
     acc_ref[:] += jnp.dot(
         x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32
@@ -244,9 +267,10 @@ def matmul_8bit(
 
     grid = (m_pad // tm, n_pad // tn, k_dim // tkk)
     sb = tkk // block
+    s_rows = scales.shape[0]
 
     kernel = functools.partial(
-        _mm8_kernel, levels=levels, block=block, out_dtype=out_dtype
+        _mm8_kernel, levels=levels, block=block, sb=sb, out_dtype=out_dtype
     )
     out = pl.pallas_call(
         kernel,
@@ -254,7 +278,7 @@ def matmul_8bit(
         in_specs=[
             pl.BlockSpec((tm, tkk), lambda i, j, k: (i, k)),
             pl.BlockSpec((tkk, tn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((sb, tn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((s_rows, tn), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
@@ -275,6 +299,43 @@ def matmul_8bit(
 # ----------------------------------------------------------- QT entry point
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mmq(x: jax.Array, qt: QuantizedTensor, opts: tuple) -> jax.Array:
+    kw = dict(opts)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if qt.packed == "split_k":
+        out = matmul_4bit(
+            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size, **kw
+        )
+    elif qt.bits == 8:
+        out = matmul_8bit(
+            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size, **kw
+        )
+    else:
+        raise ValueError(f"unsupported matmul layout: {qt.packed}/{qt.bits}bit")
+    return out.reshape(*lead, out.shape[-1])
+
+
+def _mmq_fwd(x, qt, opts):
+    return _mmq(x, qt, opts), (x, qt)
+
+
+def _mmq_bwd(opts, res, g):
+    # Quantized weights are frozen codes (QLoRA semantics): only dx flows.
+    # Backward dequantizes once per step via the XLA path; fine because the
+    # bwd GEMM dominates. dx = g @ W^T.
+    from quanta_tpu.core import codecs
+
+    x, qt = res
+    w = codecs.dequantize_matmul_weight(qt).astype(g.dtype)
+    dx = (g @ w.T).astype(x.dtype)
+    return (dx, jax.tree_util.tree_map(jnp.zeros_like, qt))
+
+
+_mmq.defvjp(_mmq_fwd, _mmq_bwd)
+
+
 def matmul_quantized(
     x: jax.Array, qt: QuantizedTensor, *, interpret: bool = False, **kw
 ) -> jax.Array:
@@ -282,19 +343,7 @@ def matmul_quantized(
 
     ``qt`` must be in matmul layout (from core.quantize_matmul_weight).
     Accepts x of any leading batch shape; contracts over the last axis.
+    Differentiable in ``x`` (custom VJP; weight codes are frozen).
     """
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
-    if qt.packed == "split_k":
-        out = matmul_4bit(
-            x2, qt.codes, qt.scale,
-            codebook=qt.codebook, block=qt.block_size, interpret=interpret, **kw,
-        )
-    elif qt.bits == 8:
-        out = matmul_8bit(
-            x2, qt.codes, qt.scale,
-            codebook=qt.codebook, block=qt.block_size, interpret=interpret, **kw,
-        )
-    else:
-        raise ValueError(f"unsupported matmul layout: {qt.packed}/{qt.bits}bit")
-    return out.reshape(*lead, out.shape[-1])
+    opts = tuple(sorted({**kw, "interpret": interpret}.items()))
+    return _mmq(x, qt, opts)

@@ -51,7 +51,8 @@ def test_4bit_codebook_roundtrip(cb, block):
     lv = np.asarray(core.get_codebook(cb))
     half_gap = np.diff(lv).max() / 2
     assert jnp.abs(y - x).max() <= half_gap * qt.scale.max() + 1e-5
-    assert jnp.abs(y - x).mean() < 0.12 * x.std()
+    # uniform-grid worst case: mean error ~= half_gap/2 per element
+    assert jnp.abs(y - x).mean() < 0.55 * half_gap * qt.scale.max()
 
 
 @pytest.mark.parametrize("cb", ["nf8", "fp8"])
@@ -139,8 +140,12 @@ def test_matmul_weight_roundtrip(fmt):
         assert qt.codes.shape == (128, 96)
     wd = core.dequantize_matmul_weight(qt)
     assert wd.shape == w.shape
-    tol = 0.12 if qt.bits == 4 else 0.02
-    assert jnp.abs(wd - w).max() <= tol * jnp.abs(w).max() + 1e-5
+    if qt.scheme == "symmetric":  # int8 grid: half-step = scale/2
+        bound = 0.51 * qt.scale.max()
+    else:
+        lv = np.asarray(core.get_codebook(fmt))
+        bound = np.diff(lv).max() / 2 * qt.scale.max() + 1e-5
+    assert jnp.abs(wd - w).max() <= bound
 
 
 def test_matmul_weight_compression():
