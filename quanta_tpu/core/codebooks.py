@@ -119,19 +119,27 @@ def codebook_names() -> tuple[str, ...]:
     return tuple(_REGISTRY)
 
 
-@functools.lru_cache(maxsize=None)
+# NOTE: these return fresh jnp constants per call (the numpy master copy is
+# module-level). Caching device arrays here would leak tracers when the
+# first call happens inside a jit trace.
+
+
 def get_codebook(name: str) -> jnp.ndarray:
-    """Sorted codebook levels as a device array, normalized to [-1, 1]."""
+    """Sorted codebook levels, normalized to [-1, 1]."""
     if name not in _REGISTRY:
         raise ValueError(f"unknown codebook {name!r}; have {codebook_names()}")
     return jnp.asarray(_REGISTRY[name])
 
 
 @functools.lru_cache(maxsize=None)
+def _midpoints_np(name: str) -> np.ndarray:
+    lv = _REGISTRY[name]
+    return (lv[1:] + lv[:-1]) / 2.0
+
+
 def get_midpoints(name: str) -> jnp.ndarray:
     """Decision boundaries between adjacent codebook levels (len 2^bits-1)."""
-    lv = _REGISTRY[name]
-    return jnp.asarray((lv[1:] + lv[:-1]) / 2.0)
+    return jnp.asarray(_midpoints_np(name))
 
 
 def bits_of(name: str) -> int:
