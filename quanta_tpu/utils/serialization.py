@@ -1,0 +1,220 @@
+"""Persistence of quantized tensors and whole parameter trees.
+
+Behavior contract from the reference: a quantized artifact is packed codes
++ scales/zero-points + metadata {bits, scheme, type, shape, dtype}, and it
+round-trips (`/root/reference/Quanta/utils/utils.py:60-210`). Two formats:
+
+- ``.qtn``: the reference's custom binary container (:60-165) — 8-byte
+  little-endian header length, JSON metadata, then raw payload bytes.
+  Unlike the reference loader (:159-163, which assumes a single scalar f32
+  scale and silently truncates per-channel scales — SURVEY.md §2.7 defect 3),
+  the metadata here records the full shape/dtype of every payload array, so
+  per-block scale vectors round-trip exactly.
+- ``.npz``: numpy-native container for single tensors and for whole
+  parameter trees (the torch.save-dict analog of :167-210 and the
+  checkpoint format for model surgery). Trees may mix QuantizedTensor and
+  plain-array leaves; leaf paths are '/'-joined keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quanta_tpu.core import QuantizedTensor
+
+_MAGIC = b"QTN1"
+
+
+def _meta(qt: QuantizedTensor) -> Dict[str, Any]:
+    m = {
+        "bits": qt.bits,
+        "scheme": qt.scheme,
+        "codebook": qt.codebook,
+        "shape": list(qt.shape),
+        "dtype": str(jnp.dtype(qt.dtype)),
+        "block_size": qt.block_size,
+        "packed": qt.packed,
+        "codes_dtype": str(np.asarray(qt.codes).dtype),
+        "codes_shape": list(qt.codes.shape),
+        "scale_shape": list(qt.scale.shape),
+        "has_zp": qt.zero_point is not None,
+    }
+    if qt.zero_point is not None:
+        m["zp_dtype"] = str(np.asarray(qt.zero_point).dtype)
+        m["zp_shape"] = list(qt.zero_point.shape)
+    return m
+
+
+def _from_meta(m: Dict[str, Any], codes, scale, zp) -> QuantizedTensor:
+    return QuantizedTensor(
+        codes=jnp.asarray(codes),
+        scale=jnp.asarray(scale),
+        zero_point=None if zp is None else jnp.asarray(zp),
+        bits=m["bits"],
+        scheme=m["scheme"],
+        codebook=m["codebook"],
+        shape=tuple(m["shape"]),
+        dtype=jnp.dtype(m["dtype"]),
+        block_size=m["block_size"],
+        packed=m["packed"],
+    )
+
+
+# ------------------------------------------------------------------- .qtn
+
+
+def save_qtn(qt: QuantizedTensor, path: str) -> None:
+    meta = json.dumps(_meta(qt)).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(len(meta).to_bytes(8, "little"))
+        f.write(meta)
+        f.write(np.ascontiguousarray(np.asarray(qt.codes)).tobytes())
+        f.write(np.ascontiguousarray(np.asarray(qt.scale)).tobytes())
+        if qt.zero_point is not None:
+            f.write(np.ascontiguousarray(np.asarray(qt.zero_point)).tobytes())
+
+
+def load_qtn(path: str) -> QuantizedTensor:
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not a .qtn file")
+        n = int.from_bytes(f.read(8), "little")
+        m = json.loads(f.read(n))
+        codes = np.frombuffer(
+            f.read(int(np.prod(m["codes_shape"]) or 1)
+                   * np.dtype(m["codes_dtype"]).itemsize),
+            dtype=m["codes_dtype"],
+        ).reshape(m["codes_shape"])
+        scale = np.frombuffer(
+            f.read(int(np.prod(m["scale_shape"]) or 1) * 4), dtype=np.float32
+        ).reshape(m["scale_shape"])
+        zp = None
+        if m["has_zp"]:
+            zp = np.frombuffer(
+                f.read(int(np.prod(m["zp_shape"]) or 1)
+                       * np.dtype(m["zp_dtype"]).itemsize),
+                dtype=m["zp_dtype"],
+            ).reshape(m["zp_shape"])
+    return _from_meta(m, codes, scale, zp)
+
+
+# ------------------------------------------------------------------- .npz
+
+
+def save_npz(qt: QuantizedTensor, path: str) -> None:
+    arrays = {"codes": np.asarray(qt.codes), "scale": np.asarray(qt.scale)}
+    if qt.zero_point is not None:
+        arrays["zero_point"] = np.asarray(qt.zero_point)
+    np.savez(path, __meta__=json.dumps(_meta(qt)), **arrays)
+
+
+def load_npz(path: str) -> QuantizedTensor:
+    with np.load(path, allow_pickle=False) as z:
+        m = json.loads(str(z["__meta__"]))
+        return _from_meta(
+            m, z["codes"], z["scale"], z["zero_point"] if m["has_zp"] else None
+        )
+
+
+def save_quantized_tensor(qt: QuantizedTensor, path: str) -> None:
+    """Extension-dispatched save (reference state.py:157-160)."""
+    if path.endswith(".qtn"):
+        save_qtn(qt, path)
+    elif path.endswith(".npz"):
+        save_npz(qt, path)
+    else:
+        raise ValueError(f"unsupported extension: {path} (use .qtn or .npz)")
+
+
+def load_quantized_tensor(path: str) -> QuantizedTensor:
+    if path.endswith(".qtn"):
+        return load_qtn(path)
+    if path.endswith(".npz"):
+        return load_npz(path)
+    raise ValueError(f"unsupported extension: {path} (use .qtn or .npz)")
+
+
+# -------------------------------------------------------- tree checkpoints
+
+
+def _flatten_tree(tree) -> Dict[str, Any]:
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}/{i}" if prefix else str(i), v)
+        else:
+            flat[prefix] = node
+
+    walk("", tree)
+    return flat
+
+
+def save_checkpoint(tree, path: str) -> None:
+    """Save a (possibly quantized) parameter tree to one .npz file.
+
+    QuantizedTensor leaves store codes/scale/zp arrays plus JSON metadata;
+    plain jax/numpy array leaves store as-is. This is the framework's
+    checkpoint format: packed uint8 weights + per-block scales + a JSON
+    quant-state tree (SURVEY.md §5 checkpoint contract)."""
+    arrays: Dict[str, np.ndarray] = {}
+    meta: Dict[str, Any] = {}
+    for name, leaf in _flatten_tree(tree).items():
+        if isinstance(leaf, QuantizedTensor):
+            meta[name] = {"kind": "qtensor", **_meta(leaf)}
+            arrays[f"{name}.codes"] = np.asarray(leaf.codes)
+            arrays[f"{name}.scale"] = np.asarray(leaf.scale)
+            if leaf.zero_point is not None:
+                arrays[f"{name}.zp"] = np.asarray(leaf.zero_point)
+        else:
+            a = np.asarray(leaf)
+            entry = {"kind": "array"}
+            if a.dtype == jnp.bfloat16:
+                # numpy can't round-trip bf16 through npz; store the bits
+                entry["view_dtype"] = "bfloat16"
+                a = a.view(np.uint16)
+            meta[name] = entry
+            arrays[f"{name}.a"] = a
+    np.savez(path, __tree__=json.dumps(meta), **arrays)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint back into a nested dict tree."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__tree__"]))
+        flat: Dict[str, Any] = {}
+        for name, m in meta.items():
+            if m["kind"] == "qtensor":
+                flat[name] = _from_meta(
+                    m,
+                    z[f"{name}.codes"],
+                    z[f"{name}.scale"],
+                    z[f"{name}.zp"] if m["has_zp"] else None,
+                )
+            elif m.get("view_dtype"):
+                flat[name] = jnp.asarray(z[f"{name}.a"]).view(m["view_dtype"])
+            else:
+                flat[name] = jnp.asarray(z[f"{name}.a"])
+    tree: Dict[str, Any] = {}
+    for name, leaf in flat.items():
+        node = tree
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def checkpoint_nbytes(path: str) -> int:
+    return os.path.getsize(path)
