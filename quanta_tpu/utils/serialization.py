@@ -213,7 +213,20 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = leaf
-    return tree
+    return _relist(tree)
+
+
+def _relist(node):
+    """Restore list nodes: a dict whose keys are exactly '0'..'n-1' was a
+    list/tuple before flattening (e.g. the per-layer list in model params)."""
+    if not isinstance(node, dict):
+        return node
+    out = {k: _relist(v) for k, v in node.items()}
+    if out and all(k.isdigit() for k in out):
+        idx = sorted(int(k) for k in out)
+        if idx == list(range(len(idx))):
+            return [out[str(i)] for i in idx]
+    return out
 
 
 def checkpoint_nbytes(path: str) -> int:
