@@ -63,8 +63,9 @@ class ConfigTree:
 
     Resolution order matches the reference's ``_get_layer_config``
     (`functional/model.py:51-58`): the most specific tier wins, field by
-    field. Per-layer rules are tried in registration order; the first
-    matching pattern contributes its overrides.
+    field. *All* matching per-layer rules apply in registration order
+    (later rules win field-by-field), matching the reference's semantics
+    where re-configuring a layer replaces its earlier config.
     """
 
     def __init__(self, default: Optional[QuantConfig] = None):
@@ -96,7 +97,6 @@ class ConfigTree:
         for pattern, ov in self._layer_rules:
             if re.search(pattern, name):
                 merged.update(ov)
-                break
         merged.update(self._tensor_overrides.get(name, {}))
         return QuantConfig.from_dict(merged)
 

@@ -42,6 +42,7 @@ def _meta(qt: QuantizedTensor) -> Dict[str, Any]:
         "packed": qt.packed,
         "codes_dtype": str(np.asarray(qt.codes).dtype),
         "codes_shape": list(qt.codes.shape),
+        "scale_dtype": str(np.asarray(qt.scale).dtype),
         "scale_shape": list(qt.scale.shape),
         "has_zp": qt.zero_point is not None,
     }
@@ -87,21 +88,20 @@ def load_qtn(path: str) -> QuantizedTensor:
             raise ValueError(f"{path}: not a .qtn file")
         n = int.from_bytes(f.read(8), "little")
         m = json.loads(f.read(n))
-        codes = np.frombuffer(
-            f.read(int(np.prod(m["codes_shape"]) or 1)
-                   * np.dtype(m["codes_dtype"]).itemsize),
-            dtype=m["codes_dtype"],
-        ).reshape(m["codes_shape"])
-        scale = np.frombuffer(
-            f.read(int(np.prod(m["scale_shape"]) or 1) * 4), dtype=np.float32
-        ).reshape(m["scale_shape"])
+        def read_array(shape, dtype_name):
+            # np.prod([]) == 1.0 already covers scalars; zero-size arrays
+            # read zero bytes and reshape cleanly.
+            dt = np.dtype(jnp.dtype(dtype_name).name)
+            count = int(np.prod(shape))
+            return np.frombuffer(f.read(count * dt.itemsize), dtype=dt).reshape(
+                shape
+            )
+
+        codes = read_array(m["codes_shape"], m["codes_dtype"])
+        scale = read_array(m["scale_shape"], m.get("scale_dtype", "float32"))
         zp = None
         if m["has_zp"]:
-            zp = np.frombuffer(
-                f.read(int(np.prod(m["zp_shape"]) or 1)
-                       * np.dtype(m["zp_dtype"]).itemsize),
-                dtype=m["zp_dtype"],
-            ).reshape(m["zp_shape"])
+            zp = read_array(m["zp_shape"], m["zp_dtype"])
     return _from_meta(m, codes, scale, zp)
 
 
@@ -144,35 +144,50 @@ def load_quantized_tensor(path: str) -> QuantizedTensor:
 # -------------------------------------------------------- tree checkpoints
 
 
-def _flatten_tree(tree) -> Dict[str, Any]:
-    flat = {}
+def _flatten_tree(tree):
+    """Flatten to ``{path: leaf}`` plus ``{path: container_kind}``.
+
+    The container-kind map records, for every internal node (including the
+    root at path ``""`` and *empty* containers), whether it was a dict,
+    list, or tuple — so rebuilding never has to guess from key shapes."""
+    flat: Dict[str, Any] = {}
+    kinds: Dict[str, str] = {}
 
     def walk(prefix, node):
         if isinstance(node, dict):
+            kinds[prefix] = "dict"
             for k, v in node.items():
-                walk(f"{prefix}/{k}" if prefix else str(k), v)
+                k = str(k)
+                if "/" in k:
+                    raise ValueError(f"tree key may not contain '/': {k!r}")
+                walk(f"{prefix}/{k}" if prefix else k, v)
         elif isinstance(node, (list, tuple)):
+            kinds[prefix] = "list" if isinstance(node, list) else "tuple"
             for i, v in enumerate(node):
                 walk(f"{prefix}/{i}" if prefix else str(i), v)
         else:
             flat[prefix] = node
 
     walk("", tree)
-    return flat
+    return flat, kinds
 
 
 def save_checkpoint(tree, path: str) -> None:
     """Save a (possibly quantized) parameter tree to one .npz file.
 
     QuantizedTensor leaves store codes/scale/zp arrays plus JSON metadata;
-    plain jax/numpy array leaves store as-is. This is the framework's
+    plain jax/numpy array leaves store as-is. Container kinds (dict vs
+    list vs tuple) are recorded per path in the ``__tree__`` metadata so
+    the structure round-trips exactly — including dicts whose keys happen
+    to be '0'..'n-1' and empty containers. This is the framework's
     checkpoint format: packed uint8 weights + per-block scales + a JSON
     quant-state tree (SURVEY.md §5 checkpoint contract)."""
+    flat, kinds = _flatten_tree(tree)
     arrays: Dict[str, np.ndarray] = {}
-    meta: Dict[str, Any] = {}
-    for name, leaf in _flatten_tree(tree).items():
+    leaves: Dict[str, Any] = {}
+    for name, leaf in flat.items():
         if isinstance(leaf, QuantizedTensor):
-            meta[name] = {"kind": "qtensor", **_meta(leaf)}
+            leaves[name] = {"kind": "qtensor", **_meta(leaf)}
             arrays[f"{name}.codes"] = np.asarray(leaf.codes)
             arrays[f"{name}.scale"] = np.asarray(leaf.scale)
             if leaf.zero_point is not None:
@@ -184,17 +199,20 @@ def save_checkpoint(tree, path: str) -> None:
                 # numpy can't round-trip bf16 through npz; store the bits
                 entry["view_dtype"] = "bfloat16"
                 a = a.view(np.uint16)
-            meta[name] = entry
+            leaves[name] = entry
             arrays[f"{name}.a"] = a
+    meta = {"version": 2, "leaves": leaves, "containers": kinds}
     np.savez(path, __tree__=json.dumps(meta), **arrays)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a checkpoint back into a nested dict tree."""
+def load_checkpoint(path: str):
+    """Load a checkpoint back into its original nested structure."""
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__tree__"]))
+        leaves_meta = meta["leaves"]
+        kinds = meta["containers"]
         flat: Dict[str, Any] = {}
-        for name, m in meta.items():
+        for name, m in leaves_meta.items():
             if m["kind"] == "qtensor":
                 flat[name] = _from_meta(
                     m,
@@ -206,27 +224,38 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
                 flat[name] = jnp.asarray(z[f"{name}.a"]).view(m["view_dtype"])
             else:
                 flat[name] = jnp.asarray(z[f"{name}.a"])
-    tree: Dict[str, Any] = {}
+
+    if "" in flat:  # the tree was a bare leaf
+        return flat[""]
+
+    # Build a dict skeleton from leaf paths + (possibly empty) containers.
+    nested: Dict[str, Any] = {}
+    for cpath in kinds:
+        node = nested
+        if cpath:
+            for p in cpath.split("/"):
+                node = node.setdefault(p, {})
     for name, leaf in flat.items():
-        node = tree
+        node = nested
         parts = name.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = leaf
-    return _relist(tree)
 
+    # Convert skeleton dicts to their recorded container kinds, bottom-up.
+    def convert(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {
+            k: convert(v, f"{path}/{k}" if path else k) for k, v in node.items()
+        }
+        kind = kinds.get(path, "dict")
+        if kind in ("list", "tuple"):
+            seq = [out[str(i)] for i in range(len(out))]
+            return tuple(seq) if kind == "tuple" else seq
+        return out
 
-def _relist(node):
-    """Restore list nodes: a dict whose keys are exactly '0'..'n-1' was a
-    list/tuple before flattening (e.g. the per-layer list in model params)."""
-    if not isinstance(node, dict):
-        return node
-    out = {k: _relist(v) for k, v in node.items()}
-    if out and all(k.isdigit() for k in out):
-        idx = sorted(int(k) for k in out)
-        if idx == list(range(len(idx))):
-            return [out[str(i)] for i in idx]
-    return out
+    return convert(nested, "")
 
 
 def checkpoint_nbytes(path: str) -> int:

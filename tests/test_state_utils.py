@@ -149,6 +149,64 @@ def test_checkpoint_tree_round_trip(tmp_path, x):
     np.testing.assert_array_equal(tree2["layers"]["0"]["norm"], 1.0)
 
 
+def test_checkpoint_digit_keyed_dict_stays_dict(tmp_path, x):
+    # Regression: container kind is recorded in metadata, not guessed from
+    # digit-shaped keys (round-1 _relist bug).
+    tree = {"layers": {"0": {"w": jnp.ones((4,))}, "1": {"w": jnp.zeros((4,))}}}
+    p = str(tmp_path / "ckpt.npz")
+    qutils.save_checkpoint(tree, p)
+    tree2 = qutils.load_checkpoint(p)
+    assert isinstance(tree2["layers"], dict)
+    np.testing.assert_array_equal(tree2["layers"]["0"]["w"], 1.0)
+    np.testing.assert_array_equal(tree2["layers"]["1"]["w"], 0.0)
+
+
+def test_checkpoint_list_tuple_and_empty_containers(tmp_path):
+    tree = {
+        "stack": [jnp.ones((2,)), jnp.zeros((2,))],
+        "pair": (jnp.ones((1,)), {"inner": jnp.zeros((1,))}),
+        "empty_d": {},
+        "empty_l": [],
+    }
+    p = str(tmp_path / "ckpt.npz")
+    qutils.save_checkpoint(tree, p)
+    tree2 = qutils.load_checkpoint(p)
+    assert isinstance(tree2["stack"], list) and len(tree2["stack"]) == 2
+    assert isinstance(tree2["pair"], tuple)
+    assert isinstance(tree2["pair"][1], dict)
+    assert tree2["empty_d"] == {} and tree2["empty_l"] == []
+
+
+def test_checkpoint_bare_leaf(tmp_path):
+    p = str(tmp_path / "leaf.npz")
+    qutils.save_checkpoint(jnp.arange(4.0), p)
+    np.testing.assert_array_equal(qutils.load_checkpoint(p), jnp.arange(4.0))
+
+
+def test_qtn_non_f32_scale_round_trip(tmp_path, x):
+    # Regression: scale dtype is recorded in metadata (was hardcoded f32).
+    qt = quantize(x, bits=8, scheme="symmetric", block_size=64)
+    import dataclasses
+
+    qt = dataclasses.replace(qt, scale=qt.scale.astype(jnp.bfloat16))
+    p = str(tmp_path / "t.qtn")
+    qutils.save_qtn(qt, p)
+    qt2 = qutils.load_qtn(p)
+    assert qt2.scale.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(qt2.scale, np.float32), np.asarray(qt.scale, np.float32)
+    )
+
+
+def test_config_later_rule_wins():
+    # All matching layer rules merge in registration order; later wins.
+    tree = qstate.ConfigTree()
+    tree.config_layer(r"layers", bits=8, block_size=32)
+    tree.config_layer(r"attn", bits=4, scheme="codebook", codebook="nf4")
+    c = tree.resolve("layers/0/attn/wq")
+    assert (c.bits, c.block_size, c.codebook) == (4, 32, "nf4")
+
+
 # ---------------------------------------------------- precision conversion
 
 
