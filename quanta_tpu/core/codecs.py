@@ -169,18 +169,29 @@ def quantize_matmul_weight(
 ) -> QuantizedTensor:
     """Quantize a 2-D weight ``(K, N)`` in the fused-matmul layout.
 
-    Blocks run along K per column: ``scale`` has shape ``(K/block, N)``.
+    Blocks run along K per column: ``scale`` has shape ``(K_pad/block, N_pad)``.
     4-bit formats are packed ``split_k`` (see quanta_tpu.core.packing) so
     the Pallas kernel consumes contiguous activation slices. 8-bit formats
-    keep ``(K, N)`` int8 codes.
+    keep ``(K_pad, N_pad)`` int8 codes.
 
-    fmt: "nf4" | "fp4" | "int4" | "int8" | "nf8" | "fp8"
+    The stored arrays are zero-padded to K a multiple of ``16*block_size``
+    and N a multiple of 128, so every Pallas tile (including the per-step
+    scale tile, whose sublane count must be a multiple of 8) aligns for
+    any K/N the model throws at us; ``shape`` records the logical (K, N)
+    and padded rows/columns are sliced away on dequant (padded x rows are
+    zero, so they contribute nothing to the matmul).
+
+    fmt: "nf4" | "nf4a" | "fp4" | "int4" | "int8" | "nf8" | "fp8"
     """
     if w.ndim != 2:
         raise ValueError(f"expected 2-D weight, got shape {w.shape}")
-    k, _n_cols = w.shape
-    if k % block_size:
-        raise ValueError(f"K={k} not divisible by block_size={block_size}")
+    k, n_cols = w.shape
+    logical_shape = (k, n_cols)
+    k_pad = -(-k // (16 * block_size)) * (16 * block_size)
+    n_pad = -(-n_cols // 128) * 128
+    if (k_pad, n_pad) != (k, n_cols):
+        w = jnp.pad(w, ((0, k_pad - k), (0, n_pad - n_cols)))
+        k = k_pad
 
     wf = w.astype(jnp.float32)
     blocks = wf.reshape(k // block_size, block_size, -1)
@@ -196,7 +207,7 @@ def quantize_matmul_weight(
         idx = jnp.searchsorted(mids, blocks / scale[:, None, :])
         codes = idx.astype(jnp.uint8).reshape(k, -1)
         bits, scheme, cb, packed = 8, "codebook", fmt, "none"
-    elif fmt in ("nf4", "fp4", "int4"):
+    elif fmt in ("nf4", "nf4a", "fp4", "int4"):
         cb = fmt
         scale = _safe_scale(jnp.max(jnp.abs(blocks), axis=1))
         mids = codebooks.get_midpoints(cb)
@@ -214,7 +225,7 @@ def quantize_matmul_weight(
         bits=bits,
         scheme=scheme,
         codebook=cb,
-        shape=tuple(w.shape),
+        shape=logical_shape,
         dtype=w.dtype,
         block_size=block_size,
         packed=packed,
@@ -222,23 +233,22 @@ def quantize_matmul_weight(
 
 
 def _dequant_matmul_layout(qt: QuantizedTensor, codes: jax.Array) -> jax.Array:
-    k, _ = qt.shape
-    bs = qt.block_size
+    k, n = qt.shape
     lv = codebooks.get_codebook(qt.codebook)
-    vals = lv[codes.astype(jnp.int32)]  # (K, N) normalized
-    scale = jnp.repeat(qt.scale, bs, axis=0)  # (K, N)
-    return (vals * scale).astype(qt.dtype)
+    vals = lv[codes.astype(jnp.int32)]  # (K_pad, N_pad) normalized
+    scale = jnp.repeat(qt.scale, qt.block_size, axis=0)
+    return (vals * scale)[:k, :n].astype(qt.dtype)
 
 
 def dequantize_matmul_weight(qt: QuantizedTensor) -> jax.Array:
-    """Dequantize a matmul-layout weight back to (K, N)."""
+    """Dequantize a matmul-layout weight back to the logical (K, N)."""
     if qt.packed == "split_k":
         codes = packing.unpack_split_k(qt.codes)
         return _dequant_matmul_layout(qt, codes)
-    k, _ = qt.shape
-    bs = qt.block_size
-    scale = jnp.repeat(qt.scale, bs, axis=0)
+    k, n = qt.shape
+    scale = jnp.repeat(qt.scale, qt.block_size, axis=0)
     if qt.scheme == "symmetric":  # int8
-        return (qt.codes.astype(jnp.float32) * scale).astype(qt.dtype)
+        return (qt.codes.astype(jnp.float32) * scale)[:k, :n].astype(qt.dtype)
     lv = codebooks.get_codebook(qt.codebook)
-    return (lv[qt.codes.astype(jnp.int32)] * scale).astype(qt.dtype)
+    vals = lv[qt.codes.astype(jnp.int32)] * scale
+    return vals[:k, :n].astype(qt.dtype)

@@ -8,20 +8,37 @@ matmul is dequant->fp32 GEMM->requant. Here packed weights stay packed in
 HBM; nibbles are unpacked and dequantized in VMEM tiles that feed the MXU
 directly, so bf16 weights never materialize in HBM.
 
+Performance design (measured on TPU v5e, decode shapes M=8; see
+experiments/kbench2.py and docs/KERNEL_BENCH.md):
+
+  * Memory-bound decode is limited by VPU dequant ops per weight element,
+    not HBM or MXU. Table lookup via a select chain costs ~30 VPU ops per
+    element (round-1 kernel: 0.3x dense bf16 speed). Dequant must be
+    arithmetic to win:
+      - polynomial codebooks ("nf4a": cubic Horner, "int4": linear) run at
+        3-5 VPU ops/element -> ~2-4x FASTER than dense bf16 decode;
+      - "nf8" dequantizes with its defining tanh formula;
+      - table codebooks ("nf4", "fp4") use a 4-level binary select tree
+        (4 masks + 15 selects, ~0.8x dense) — kept for exact QLoRA-NF4
+        compatibility; prefer "nf4a" for serving.
+  * Blockwise scales arrive as BlockSpec-fed (sb, tn) tiles (sb = scale
+    rows per K-step, a multiple of 8 by the quantizer's K padding) and are
+    expanded sublane-wise by a broadcast-reshape — the round-1 kernel
+    instead burned an MXU matmul per K-step on a one-hot expansion.
+
 Layouts (see quanta_tpu.core.packing / codecs.quantize_matmul_weight):
   - 4-bit: codes (K/2, N) uint8 split_k-packed, scales (K/B, N) f32.
     The kernel computes  x[:, :K/2] @ deq(lo) + x[:, K/2:] @ deq(hi)
     with contiguous activation slices — no lane shuffles.
   - 8-bit: codes (K, N) int8 (symmetric) or uint8 (codebook),
     scales (K/B, N) f32.
-
-Codebook dequant uses a 15-select chain over trace-time-constant levels
-(VPU work fully hidden behind the MXU pipeline at these tile sizes).
+  K and N are pre-padded by the quantizer (K % 16*block == 0, N % 128 == 0).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -41,69 +58,106 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _lookup(codes: jax.Array, levels: np.ndarray) -> jax.Array:
-    """Codebook gather as a select chain (levels are trace-time constants)."""
+# ------------------------------------------------------------ dequant math
+
+
+def _lut_tree(codes: jax.Array, levels: np.ndarray) -> jax.Array:
+    """16-entry lookup as a binary select tree: 4 bit masks + 15 selects."""
+    assert len(levels) == 16
+    b0 = (codes & 1) != 0
+    b1 = (codes & 2) != 0
+    b2 = (codes & 4) != 0
+    b3 = (codes & 8) != 0
+    lv = [float(v) for v in levels]
+    t = [jnp.where(b0, lv[2 * j + 1], lv[2 * j]) for j in range(8)]
+    u = [jnp.where(b1, t[2 * j + 1], t[2 * j]) for j in range(4)]
+    v = [jnp.where(b2, u[2 * j + 1], u[2 * j]) for j in range(2)]
+    return jnp.where(b3, v[1], v[0])
+
+
+def _lut_chain(codes: jax.Array, levels: np.ndarray) -> jax.Array:
     out = jnp.full(codes.shape, float(levels[0]), jnp.float32)
     for i in range(1, len(levels)):
         out = jnp.where(codes == i, float(levels[i]), out)
     return out
 
 
+def _dequant_codes(codes_i32: jax.Array, codebook: str | None) -> jax.Array:
+    """In-kernel dequant of integer codes to normalized f32 values."""
+    if codebook is None:  # symmetric int8: codes ARE the values
+        return codes_i32.astype(jnp.float32)
+    coeffs = codebooks.get_poly_coeffs(codebook)
+    if coeffs is not None:  # polynomial codebook: Horner, 1 madd per degree
+        cf = codes_i32.astype(jnp.float32)
+        out = jnp.full(cf.shape, np.float32(coeffs[0]), jnp.float32)
+        for a in coeffs[1:]:
+            out = out * cf + np.float32(a)
+        return out
+    if codebook == "nf8":  # defining formula: tanh(2*(2c/255 - 1))/tanh(2)
+        cf = codes_i32.astype(jnp.float32)
+        return jnp.tanh((cf * np.float32(2.0 / 255.0) - 1.0) * 2.0) * np.float32(
+            1.0 / math.tanh(2.0)
+        )
+    levels = np.asarray(codebooks._REGISTRY[codebook])
+    if len(levels) == 16:
+        return _lut_tree(codes_i32, levels)
+    return _lut_chain(codes_i32, levels)  # 256-entry fallback (fp8): slow
+
+
 def _expand_scales(scale_tile: jax.Array, block: int) -> jax.Array:
-    """(TK/B, TN) f32 -> (TK, TN): broadcast each scale row over its block."""
+    """(sb, TN) f32 -> (sb*block, TN): each scale row over its block.
+    Pure sublane broadcast + reshape; no MXU, no dynamic slicing."""
     nb, tn = scale_tile.shape
     return jnp.broadcast_to(scale_tile[:, None, :], (nb, block, tn)).reshape(
         nb * block, tn
     )
 
 
-def _select_expand_scales(s_ref, start, tk: int, block: int) -> jax.Array:
-    """Expand scale rows [start, start + tk/block) of the full (S, TN) strip
-    to a (TK, TN) tile via a one-hot selection matmul.
+def _pick_tile_n(n: int) -> int:
+    for tn in (512, 256, 128):
+        if n % tn == 0:
+            return tn
+    raise ValueError(f"N={n} is not a multiple of 128 (quantizer pads N)")
 
-    Mosaic cannot prove alignment of a dynamic sublane slice when tk/block
-    is not a multiple of 8, so instead of slicing we build P (TK, S) with
-    P[r, start + r//block] = 1 and compute P @ strip on the MXU — always
-    aligned, negligible FLOPs (S = K/block is tiny).
-    """
-    s_rows = s_ref.shape[0]
-    row_blk = jax.lax.broadcasted_iota(jnp.int32, (tk, s_rows), 0) // block
-    col = jax.lax.broadcasted_iota(jnp.int32, (tk, s_rows), 1)
-    p = (col == start + row_blk).astype(jnp.float32)
-    return jnp.dot(p, s_ref[:], preferred_element_type=jnp.float32)
+
+def _pick_tile_k(k_rows: int, unit: int, cap: int) -> int:
+    """Largest multiple of ``unit`` that divides k_rows, at most ``cap``."""
+    best = unit
+    t = unit
+    while t <= min(cap, k_rows):
+        if k_rows % t == 0:
+            best = t
+        t += unit
+    return best
 
 
 # ------------------------------------------------------------- 4-bit kernel
 
 
 def _mm4_kernel(
-    x_lo_ref, x_hi_ref, wp_ref, s_ref, out_ref, acc_ref,
-    *, levels: np.ndarray, block: int, sb: int, s_half: int, out_dtype,
+    x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, out_ref, acc_ref,
+    *, codebook: str, block: int, out_dtype,
 ):
-    # s_ref holds the full (K/block, TN) scale strip for this column tile;
-    # per-K-step lo/hi slices are cut dynamically (the strip is tiny, and
-    # small blocked tiles would violate the (8, 128) min-tile rule).
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = wp_ref[:].astype(jnp.int32)  # widen before shift: Mosaic has no u8 shrui
+    packed = wp_ref[:].astype(jnp.int32)  # widen before shift (no u8 shrui)
     lo = packed & 0x0F
-    hi = (packed >> 4) & 0x0F
+    hi = packed >> 4
 
-    tkp = lo.shape[0]
-    w_lo = _lookup(lo, levels) * _select_expand_scales(s_ref, k * sb, tkp, block)
-    w_hi = _lookup(hi, levels) * _select_expand_scales(
-        s_ref, k * sb + s_half, tkp, block
-    )
+    w_lo = _dequant_codes(lo, codebook) * _expand_scales(s_lo_ref[:], block)
+    w_hi = _dequant_codes(hi, codebook) * _expand_scales(s_hi_ref[:], block)
 
     acc_ref[:] += jnp.dot(
-        x_lo_ref[:], w_lo.astype(x_lo_ref.dtype), preferred_element_type=jnp.float32
+        x_lo_ref[:], w_lo.astype(x_lo_ref.dtype),
+        preferred_element_type=jnp.float32,
     )
     acc_ref[:] += jnp.dot(
-        x_hi_ref[:], w_hi.astype(x_hi_ref.dtype), preferred_element_type=jnp.float32
+        x_hi_ref[:], w_hi.astype(x_hi_ref.dtype),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -113,60 +167,54 @@ def _mm4_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret", "out_dtype"),
+    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret",
+                     "out_dtype"),
 )
 def matmul_4bit(
     x: jax.Array,
     codes_packed: jax.Array,
     scales: jax.Array,
     *,
-    codebook: str = "nf4",
+    codebook: str = "nf4a",
     block: int = 64,
     tm: int = 256,
-    tn: int = 256,
-    tk: int = 512,
+    tn: int = 0,
+    tk: int = 0,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """``x (M, K) @ W (K, N)`` where W is split_k-packed 4-bit codebook codes.
+    """``x (M, K) @ W (K_pad, N_pad)`` with W split_k-packed 4-bit codes.
 
-    codes_packed: (K/2, N) uint8; scales: (K/block, N) f32.
-    tk is the *logical* K consumed per grid step (must be even, and
-    tk/2 % block == 0 or block % ... — we require (tk//2) % block == 0).
+    codes_packed: (K_pad/2, N_pad) uint8; scales: (K_pad/block, N_pad) f32
+    (from core.quantize_matmul_weight, which pads K_pad % 16*block == 0 and
+    N_pad % 128 == 0). x may have logical K <= K_pad; it is zero-padded.
+    tn/tk of 0 mean auto-pick.
     """
     m, k_dim = x.shape
     k2, n = codes_packed.shape
-    assert k_dim == 2 * k2, (x.shape, codes_packed.shape)
+    if k_dim < 2 * k2:
+        x = jnp.pad(x, ((0, 0), (0, 2 * k2 - k_dim)))
+    elif k_dim != 2 * k2:
+        raise ValueError(f"x K={k_dim} > packed K={2 * k2}")
     out_dtype = out_dtype or x.dtype
-    levels = np.asarray(codebooks._REGISTRY[codebook])
 
-    # Tile sizing: clamp to problem dims, respect hardware tiling.
+    unit = 8 * block
     tm = min(tm, _round_up(m, 16))
-    tn = min(tn, _round_up(n, 128))
-    tkp = min(tk // 2, k2)  # packed rows per step
-    while k2 % tkp or tkp % block:
-        tkp //= 2
-        if tkp < block:
-            tkp = block
-            break
-    assert k2 % tkp == 0 and tkp % block == 0, (k2, tkp, block)
+    tn = tn or _pick_tile_n(n)
+    # cap the packed-K tile so dequant intermediates stay well inside VMEM
+    cap = tk // 2 if tk else max(unit, (1 << 20) // (2 * tn) * 2)
+    tkp = _pick_tile_k(k2, unit, cap)
+    sb = tkp // block
 
     m_pad = _round_up(m, tm)
-    n_pad = _round_up(n, tn)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    if n_pad != n:
-        codes_packed = jnp.pad(codes_packed, ((0, 0), (0, n_pad - n)))
-        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
 
-    grid = (m_pad // tm, n_pad // tn, k2 // tkp)
-    nk_half = k2 // tkp  # block offset of the hi activation half
-    sb = tkp // block  # scale rows per step
-    s_rows = scales.shape[0]  # = K / block (both halves)
+    grid = (m_pad // tm, n // tn, k2 // tkp)
+    nk_half = k2 // tkp  # grid-k offset of the hi half
 
     kernel = functools.partial(
-        _mm4_kernel,
-        levels=levels, block=block, sb=sb, s_half=s_rows // 2, out_dtype=out_dtype,
+        _mm4_kernel, codebook=codebook, block=block, out_dtype=out_dtype
     )
     out = pl.pallas_call(
         kernel,
@@ -175,29 +223,30 @@ def matmul_4bit(
             pl.BlockSpec((tm, tkp), lambda i, j, k: (i, k)),  # x lo half
             pl.BlockSpec((tm, tkp), lambda i, j, k: (i, k + nk_half)),  # x hi
             pl.BlockSpec((tkp, tn), lambda i, j, k: (k, j)),  # packed codes
-            pl.BlockSpec((s_rows, tn), lambda i, j, k: (0, j)),  # scale strip
+            pl.BlockSpec((sb, tn), lambda i, j, k: (k, j)),  # lo scales
+            pl.BlockSpec((sb, tn), lambda i, j, k: (k + nk_half, j)),  # hi
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * k_dim,
-            bytes_accessed=m_pad * k_dim * 2 + k2 * n_pad + m_pad * n_pad * 2,
+            flops=2 * m_pad * n * 2 * k2,
+            bytes_accessed=m_pad * 2 * k2 * 2 + k2 * n + m_pad * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, codes_packed, scales)
-    return out[:m, :n]
+    )(x, x, codes_packed, scales, scales)
+    return out[:m]
 
 
 # ------------------------------------------------------------- 8-bit kernel
 
 
 def _mm8_kernel(
-    x_ref, w_ref, s_ref, out_ref, acc_ref, *, levels, block: int, sb: int, out_dtype
+    x_ref, w_ref, s_ref, out_ref, acc_ref, *, codebook, block: int, out_dtype
 ):
     k = pl.program_id(2)
 
@@ -205,11 +254,8 @@ def _mm8_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    if levels is None:  # symmetric int8: codes are the values
-        w = w_ref[:].astype(jnp.float32)
-    else:  # 8-bit codebook (nf8/fp8)
-        w = _lookup(w_ref[:].astype(jnp.int32), levels)
-    w = w * _select_expand_scales(s_ref, k * sb, w.shape[0], block)
+    w = _dequant_codes(w_ref[:].astype(jnp.int32), codebook)
+    w = w * _expand_scales(s_ref[:], block)
 
     acc_ref[:] += jnp.dot(
         x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32
@@ -222,7 +268,8 @@ def _mm8_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret", "out_dtype"),
+    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret",
+                     "out_dtype"),
 )
 def matmul_8bit(
     x: jax.Array,
@@ -232,45 +279,39 @@ def matmul_8bit(
     codebook: str | None = None,
     block: int = 64,
     tm: int = 256,
-    tn: int = 256,
-    tk: int = 512,
+    tn: int = 0,
+    tk: int = 0,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """``x (M, K) @ W (K, N)`` with 8-bit weight codes and blockwise scales.
+    """``x (M, K) @ W (K_pad, N_pad)`` with 8-bit codes + blockwise scales.
 
-    codes: (K, N) int8 (symmetric, codebook=None) or uint8 (nf8/fp8 codebook);
-    scales: (K/block, N) f32.
+    codes: (K_pad, N_pad) int8 (symmetric, codebook=None) or uint8
+    (nf8/fp8 codebook); scales: (K_pad/block, N_pad) f32.
     """
     m, k_dim = x.shape
     kw, n = codes.shape
-    assert kw == k_dim
+    if k_dim < kw:
+        x = jnp.pad(x, ((0, 0), (0, kw - k_dim)))
+    elif k_dim != kw:
+        raise ValueError(f"x K={k_dim} > codes K={kw}")
     out_dtype = out_dtype or x.dtype
-    levels = None if codebook is None else np.asarray(codebooks._REGISTRY[codebook])
 
+    unit = 8 * block
     tm = min(tm, _round_up(m, 16))
-    tn = min(tn, _round_up(n, 128))
-    tkk = min(tk, k_dim)
-    while k_dim % tkk or tkk % block:
-        tkk //= 2
-        if tkk < block:
-            tkk = block
-            break
-    assert k_dim % tkk == 0 and tkk % block == 0
+    tn = tn or _pick_tile_n(n)
+    cap = tk if tk else max(unit, (1 << 21) // (2 * tn) * 2)
+    tkk = _pick_tile_k(kw, unit, cap)
+    sb = tkk // block
 
-    m_pad, n_pad = _round_up(m, tm), _round_up(n, tn)
+    m_pad = _round_up(m, tm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
-    if n_pad != n:
-        codes = jnp.pad(codes, ((0, 0), (0, n_pad - n)))
-        scales = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
 
-    grid = (m_pad // tm, n_pad // tn, k_dim // tkk)
-    sb = tkk // block
-    s_rows = scales.shape[0]
+    grid = (m_pad // tm, n // tn, kw // tkk)
 
     kernel = functools.partial(
-        _mm8_kernel, levels=levels, block=block, sb=sb, out_dtype=out_dtype
+        _mm8_kernel, codebook=codebook, block=block, out_dtype=out_dtype
     )
     out = pl.pallas_call(
         kernel,
@@ -278,22 +319,22 @@ def matmul_8bit(
         in_specs=[
             pl.BlockSpec((tm, tkk), lambda i, j, k: (i, k)),
             pl.BlockSpec((tkk, tn), lambda i, j, k: (k, j)),
-            pl.BlockSpec((s_rows, tn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((sb, tn), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * k_dim,
-            bytes_accessed=m_pad * k_dim * 2 + k_dim * n_pad + m_pad * n_pad * 2,
+            flops=2 * m_pad * n * kw,
+            bytes_accessed=m_pad * kw * 2 + kw * n + m_pad * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, codes, scales)
-    return out[:m, :n]
+    return out[:m]
 
 
 # ----------------------------------------------------------- QT entry point
@@ -306,14 +347,17 @@ def _mmq(x: jax.Array, qt: QuantizedTensor, opts: tuple) -> jax.Array:
     x2 = x.reshape(-1, x.shape[-1])
     if qt.packed == "split_k":
         out = matmul_4bit(
-            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size, **kw
+            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size,
+            **kw,
         )
     elif qt.bits == 8:
         out = matmul_8bit(
-            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size, **kw
+            x2, qt.codes, qt.scale, codebook=qt.codebook, block=qt.block_size,
+            **kw,
         )
     else:
         raise ValueError(f"unsupported matmul layout: {qt.packed}/{qt.bits}bit")
+    out = out[:, : qt.shape[1]]  # drop N padding
     return out.reshape(*lead, out.shape[-1])
 
 

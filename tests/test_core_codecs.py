@@ -131,13 +131,13 @@ def test_quantize_packed_nibbles():
 # --------------------------------------------------- matmul-layout weights
 
 
-@pytest.mark.parametrize("fmt", ["nf4", "int4", "fp4", "int8", "nf8", "fp8"])
+@pytest.mark.parametrize("fmt", ["nf4", "nf4a", "int4", "fp4", "int8", "nf8", "fp8"])
 def test_matmul_weight_roundtrip(fmt):
-    w = _rand((256, 96), seed=6)
+    w = _rand((1024, 128), seed=6)  # already tile-aligned: no padding
     qt = core.quantize_matmul_weight(w, fmt=fmt, block_size=64)
-    assert qt.scale.shape == (4, 96)
+    assert qt.scale.shape == (16, 128)
     if qt.packed == "split_k":
-        assert qt.codes.shape == (128, 96)
+        assert qt.codes.shape == (512, 128)
     wd = core.dequantize_matmul_weight(qt)
     assert wd.shape == w.shape
     if qt.scheme == "symmetric":  # int8 grid: half-step = scale/2
@@ -149,9 +149,21 @@ def test_matmul_weight_roundtrip(fmt):
 
 
 def test_matmul_weight_compression():
-    w = _rand((512, 128), seed=7)
+    w = _rand((1024, 128), seed=7)
     qt = core.quantize_matmul_weight(w, fmt="nf4", block_size=64)
     assert qt.compression_ratio > 6.0  # ~7.1x vs f32 incl. scales
+
+
+def test_matmul_weight_padding_roundtrip():
+    # K=256 pads to 1024, N=96 pads to 128; logical shape survives and the
+    # padded rows/cols are sliced away on dequant.
+    w = _rand((256, 96), seed=9)
+    qt = core.quantize_matmul_weight(w, fmt="nf4a", block_size=64)
+    assert qt.shape == (256, 96)
+    assert qt.codes.shape == (512, 128) and qt.scale.shape == (16, 128)
+    wd = core.dequantize_matmul_weight(qt)
+    assert wd.shape == w.shape
+    assert jnp.abs(wd - w).max() < 0.2 * float(jnp.abs(w).max())
 
 
 def test_qtensor_is_pytree():

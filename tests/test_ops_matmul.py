@@ -13,7 +13,7 @@ import pytest
 from quanta_tpu import core
 from quanta_tpu.ops import matmul as mm
 
-FORMATS = ["nf4", "int4", "fp4", "int8", "nf8", "fp8"]
+FORMATS = ["nf4", "nf4a", "int4", "fp4", "int8", "nf8", "fp8"]
 
 
 def _setup(fmt, m=48, k=256, n=192, block=64, seed=0):
