@@ -184,8 +184,11 @@ def quantize_params(
             and leaf.ndim == 2
             and jnp.issubdtype(leaf.dtype, jnp.floating)
             and leaf.size >= min_size
-            and leaf.shape[0] % max(block_size, 2) == 0
-            and "emb" not in names  # embeddings are gathered, not matmul'd
+            # embeddings are gathered (and possibly tied to the head), not
+            # matmul'd: keep them dense
+            and "emb" not in names
+            and "wte" not in names
+            and "wpe" not in names
         )
 
     pred = predicate or default_pred
