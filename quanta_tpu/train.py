@@ -88,6 +88,38 @@ def causal_lm_loss(logits: jax.Array, targets: jax.Array, mask=None) -> jax.Arra
     return -(ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
+def make_train_step(
+    cfg,
+    tx: optax.GradientTransformation,
+    *,
+    forward=None,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """Full-parameter training step (pretraining / from-scratch models).
+
+    Model-agnostic: ``forward(params, tokens, cfg, ...) -> (logits, _)``
+    defaults to the Llama forward. Returns a jittable
+    ``(params, opt_state, batch) -> (params, opt_state, loss)``.
+    """
+    fwd = partial(
+        forward or llama.forward, cfg=cfg, use_kernel=use_kernel,
+        interpret=interpret,
+    )
+
+    def loss_fn(params, batch):
+        logits, _ = fwd(params, batch["inputs"])
+        return causal_lm_loss(logits, batch["targets"], batch.get("mask"))
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_qlora_train_step(
     cfg: llama.LlamaConfig,
     tx: optax.GradientTransformation,
