@@ -40,13 +40,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed(fn, reps=3):
-    """Best wall time of jitted fn(seed) including host readback."""
-    np.asarray(fn(jnp.int32(0)))  # compile + warm
+def _timed(fn, params, reps=3):
+    """Best wall time of jitted fn(params, seed) including host readback.
+
+    params is an explicit argument (NOT a closure capture): closing over
+    the tree would bake ~GBs of weights into the lowered HLO as constants
+    and re-transfer them per compile over the TPU tunnel."""
+    np.asarray(fn(params, jnp.int32(0)))  # compile + warm
     best = 1e9
     for r in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn(jnp.int32(r + 1)))
+        np.asarray(fn(params, jnp.int32(r + 1)))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -58,7 +62,7 @@ def bench_decode(params, cfg, batch=8, prefill_len=128, cache_len=512,
 
     def make_loop(L):
         @jax.jit
-        def loop(seed):
+        def loop(params, seed):
             cache = llama.init_cache(cfg, batch, max_len=cache_len)
             toks = jnp.zeros((batch, prefill_len), jnp.int32) + (seed & 1)
             logits, cache = llama.forward(params, toks, cfg, cache=cache)
@@ -75,7 +79,8 @@ def bench_decode(params, cfg, batch=8, prefill_len=128, cache_len=512,
 
         return loop
 
-    t0, t1 = _timed(make_loop(L0)), _timed(make_loop(L1))
+    t0 = _timed(make_loop(L0), params)
+    t1 = _timed(make_loop(L1), params)
     return max((t1 - t0) / (L1 - L0), 1e-9)
 
 
@@ -85,7 +90,7 @@ def bench_prefill(params, cfg, batch=8, prefill_len=128, L0=2, L1=14):
 
     def make_loop(L):
         @jax.jit
-        def loop(seed):
+        def loop(params, seed):
             base = jnp.zeros((batch, prefill_len), jnp.int32)
 
             def body(acc, _):
@@ -100,7 +105,8 @@ def bench_prefill(params, cfg, batch=8, prefill_len=128, L0=2, L1=14):
 
         return loop
 
-    t0, t1 = _timed(make_loop(L0)), _timed(make_loop(L1))
+    t0 = _timed(make_loop(L0), params)
+    t1 = _timed(make_loop(L1), params)
     return max((t1 - t0) / (L1 - L0), 1e-9)
 
 

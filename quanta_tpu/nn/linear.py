@@ -22,6 +22,7 @@ import flax.linen as fnn
 import jax
 import jax.numpy as jnp
 
+from quanta_tpu import calib
 from quanta_tpu.core import codecs
 from quanta_tpu.core.qtensor import QuantizedTensor
 from quanta_tpu.ops.int8mm import Int8Weight, matmul_int8, quantize_int8_weight
@@ -51,6 +52,12 @@ def linear(
         import jax as _jax
 
         use_kernel = interpret or _jax.default_backend() == "tpu"
+    if isinstance(w, calib.TapWeight):  # calibration stats hook
+        calib.tap_record(w.name, x)
+        w = w.w
+    if isinstance(w, calib.ActQuantWeight):  # calibrated activation quant
+        x = calib.fake_quant(x, w.lo, w.hi, w.bits)
+        w = w.w
     if isinstance(w, QuantizedTensor):
         if use_kernel:
             y = matmul_quantized(x, w, interpret=interpret)
@@ -162,6 +169,7 @@ def quantize_params(
     threshold: float = 6.0,
     predicate=None,
     min_size: int = 4096,
+    stats=None,
 ):
     """Pytree transformation: replace 2-D weight leaves with quantized ones.
 
@@ -172,6 +180,11 @@ def quantize_params(
     predicate(path, leaf) -> bool selects which leaves to quantize;
     default: 2-D float arrays with >= min_size elements whose first dim is
     divisible by block_size (embeddings/norms stay in full precision).
+
+    stats: optional {tree_path: calib.ActivationStats} from
+    calib.collect_stats; with mode="llm_int8" the per-feature activation
+    colmax selects the outlier set (the LLM.int8() systematic-outlier
+    criterion) instead of the weight-norm proxy.
     """
 
     def default_pred(path, leaf):
@@ -195,8 +208,14 @@ def quantize_params(
 
     def maybe_quant(path, leaf):
         if pred(path, leaf):
+            colmax = None
+            if stats is not None:
+                st = stats.get(calib._path_name(path))
+                if st is not None:
+                    colmax = jnp.asarray(st.colmax)
             return quantize_linear_weight(
-                leaf, mode=mode, block_size=block_size, threshold=threshold
+                leaf, mode=mode, block_size=block_size, threshold=threshold,
+                calib_colmax=colmax,
             )
         return leaf
 
@@ -209,6 +228,8 @@ def dequantize_params(params):
     """Inverse transformation: materialize dense weights from quantized."""
 
     def deq(leaf):
+        if isinstance(leaf, (calib.TapWeight, calib.ActQuantWeight)):
+            leaf = leaf.w
         if isinstance(leaf, QuantizedTensor):
             return codecs.dequantize_matmul_weight(leaf)
         if isinstance(leaf, Int8Weight):
@@ -217,5 +238,9 @@ def dequantize_params(params):
         return leaf
 
     return jax.tree_util.tree_map(
-        deq, params, is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int8Weight))
+        deq,
+        params,
+        is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int8Weight, calib.TapWeight, calib.ActQuantWeight)
+        ),
     )

@@ -100,9 +100,15 @@ def matmul_int8(x: jax.Array, qw: Int8Weight, *, out_dtype=None) -> jax.Array:
     k = x.shape[-1]
     x2 = x.reshape(-1, k).astype(jnp.float32)
 
-    # 16-bit path: gathered outlier features
-    x_out = jnp.take(x2, qw.outlier_idx, axis=1).astype(jnp.bfloat16)
-    y_out = jnp.dot(x_out, qw.w_outlier, preferred_element_type=jnp.float32)
+    # 16-bit path: gathered outlier features. f32 accumulation both for
+    # accuracy and because CPU XLA can't dispatch bf16xbf16->f32 dots;
+    # the outlier GEMM is ~1.5% of K so the cast costs nothing material.
+    x_out = jnp.take(x2, qw.outlier_idx, axis=1)
+    y_out = jnp.dot(
+        x_out.astype(jnp.float32),
+        qw.w_outlier.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
 
     # int8 path: zero the outlier features, per-row absmax quantize
     mask = jnp.zeros((k,), jnp.float32).at[qw.outlier_idx].set(1.0)

@@ -16,7 +16,7 @@ import json
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
-_VALID_SCHEMES = ("symmetric", "affine", "codebook")
+_VALID_SCHEMES = ("symmetric", "affine", "codebook", "llm_int8")
 _VALID_CALIBRATION = ("minmax", "entropy", "percentile")
 
 
@@ -30,7 +30,7 @@ class QuantConfig:
     """
 
     bits: int = 8
-    scheme: str = "symmetric"  # symmetric | affine | codebook
+    scheme: str = "symmetric"  # symmetric | affine | codebook | llm_int8
     codebook: Optional[str] = None  # nf4/nf8/fp4/fp8/int4 when scheme=codebook
     block_size: int = 64  # 0 = per-tensor
     pack: bool = False  # pack 4-bit codes two-per-byte

@@ -68,8 +68,20 @@ class QuantizationState:
 
     # ------------------------------------------------------- quant paths
     def quantize(self, name: str, x: jax.Array) -> QuantizedTensor:
-        """Quantize ``x`` under the resolved config and register it."""
+        """Quantize ``x`` under the resolved config and register it.
+
+        calibration != "minmax" clips the tensor to the range reduced
+        from its own 256-bin histogram (percentile / entropy) before
+        quantizing — the range-calibration role of the reference's
+        ``_calibrate_layer`` (functional/model.py:137-194) applied at the
+        tensor level. "minmax" is the identity (full range).
+        """
         cfg: QuantConfig = self.config.resolve(name)
+        if cfg.calibration != "minmax":
+            from quanta_tpu import calib
+
+            lo, hi = calib.weight_clip_range(x, cfg.calibration, cfg.bits)
+            x = jax.numpy.clip(x, lo, hi)
         qt = quantize(
             x,
             bits=cfg.bits,
