@@ -144,22 +144,27 @@ def _attention(q, k, v, q_positions, kv_len_mask, cfg):
     q: (B, S, nh, hd); k/v: (B, T, nkv, hd) where T is cache capacity or S.
     kv_len_mask: (B, T) bool — True where the cache slot holds a real token.
     q_positions: (B, S) absolute positions of the query tokens.
+
+    Query heads are grouped by their shared KV head and contracted with
+    grouped einsums — K/V are never materialized per-query-head (a
+    ``jnp.repeat`` here would stream rep x the whole KV cache through HBM
+    every decode step, which dominated the round-1 step time).
     """
     b, s, nh, hd = q.shape
-    t = k.shape[1]
-    rep = nh // k.shape[2]
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
+    t, nkv = k.shape[1], k.shape[2]
+    rep = nh // nkv
+    qg = q.reshape(b, s, nkv, rep, hd)
 
-    scores = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32)
+    scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k).astype(jnp.float32)
     scores = scores / jnp.sqrt(hd).astype(jnp.float32)
 
     kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
     causal = q_positions[:, :, None] >= kv_positions[:, None, :]  # (B, S, T)
     valid = causal & kv_len_mask[:, None, :]
-    scores = jnp.where(valid[:, None, :, :], scores, -1e30)  # (B,1,S,T) over heads
+    scores = jnp.where(valid[:, None, None, :, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhst,bthd->bshd", probs, v)
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs, v)
+    return out.reshape(b, s, nh, hd)
 
 
 def forward(
@@ -191,7 +196,10 @@ def forward(
         t = cache["k"].shape[2]
         kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
         kv_len_mask = kv_positions < (start[:, None] + s)
-        new_k, new_v = [], []
+        # carry the stacked cache arrays and update layer slices in place
+        # (.at[i].set on a carried buffer; a per-layer list + jnp.stack
+        # would copy the whole cache every step)
+        k_cache, v_cache = cache["k"], cache["v"]
     else:
         q_positions = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
         kv_len_mask = jnp.ones((b, s), bool)
@@ -214,10 +222,10 @@ def forward(
 
                 return jax.vmap(one)(buf, new, cache["pos"])
 
-            k_all = upd(cache["k"][i], k)
-            v_all = upd(cache["v"][i], v)
-            new_k.append(k_all)
-            new_v.append(v_all)
+            k_all = upd(k_cache[i], k)
+            v_all = upd(v_cache[i], v)
+            k_cache = k_cache.at[i].set(k_all)
+            v_cache = v_cache.at[i].set(v_all)
             attn = _attention(q, k_all, v_all, q_positions, kv_len_mask, cfg)
         else:
             attn = _attention(q, k, v, q_positions, kv_len_mask, cfg)
@@ -236,11 +244,7 @@ def forward(
     logits = logits.astype(jnp.float32)
 
     if cache is not None:
-        new_cache = {
-            "k": jnp.stack(new_k),
-            "v": jnp.stack(new_v),
-            "pos": cache["pos"] + s,
-        }
+        new_cache = {"k": k_cache, "v": v_cache, "pos": cache["pos"] + s}
         return logits, new_cache
     return logits, None
 

@@ -1,0 +1,118 @@
+"""Manual shard_map TP: locally-packed shards, collective forward,
+checkpoint resharding across TP widths. 8-virtual-CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quanta_tpu.core import codecs
+from quanta_tpu.models import llama
+from quanta_tpu.parallel import make_mesh
+from quanta_tpu.parallel import tp as tpmod
+from quanta_tpu.utils import serialization
+
+CFG = llama.LlamaConfig(
+    vocab_size=512, dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+    hidden_dim=512, max_seq_len=64, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                              CFG.vocab_size)
+    return params, toks
+
+
+def test_quantize_tp_round_trip():
+    w = jax.random.normal(jax.random.PRNGKey(2), (512, 256), jnp.float32)
+    for axis in (0, 1):
+        sq = tpmod.quantize_tp(w, 4, axis=axis, fmt="nf4", block_size=64)
+        assert sq.codes.shape[0] == 4
+        deq = tpmod.dequantize_tp(sq)
+        assert deq.shape == w.shape
+        # per-shard quantization error comparable to global quantization
+        qt = codecs.quantize_matmul_weight(w, fmt="nf4", block_size=64)
+        err_tp = float(jnp.abs(deq.astype(jnp.float32) - w).mean())
+        err_g = float(jnp.abs(
+            codecs.dequantize_matmul_weight(qt).astype(jnp.float32) - w
+        ).mean())
+        assert err_tp <= err_g * 1.05
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+@pytest.mark.parametrize("fmt", ["nf4", "int8"])
+def test_from_global_repack_bit_exact(tp, fmt):
+    """Resharding a global checkpoint re-pairs codes without requantizing:
+    dequantized values must be bit-identical to the global layout's."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (512, 256), jnp.float32)
+    qt = codecs.quantize_matmul_weight(w, fmt=fmt, block_size=64)
+    want = np.asarray(codecs.dequantize_matmul_weight(qt))
+    for axis in (0, 1):
+        sq = tpmod.from_global(qt, tp, axis=axis)
+        got = np.asarray(tpmod.dequantize_tp(sq).astype(want.dtype))
+        np.testing.assert_array_equal(got, want, err_msg=f"axis={axis}")
+
+
+def test_checkpoint_reshard_across_tp_widths(tmp_path, setup):
+    """SURVEY §5 contract: one saved split_k checkpoint serves every mesh
+    shape — save global NF4, load, shard to tp=2 and tp=4, forwards match."""
+    params, toks = setup
+    w = params["layers"][0]["w_down"]
+    qt = codecs.quantize_matmul_weight(w, fmt="nf4", block_size=64)
+    path = os.path.join(tmp_path, "w.qtn")
+    serialization.save_quantized_tensor(qt, path)
+    qt2 = serialization.load_quantized_tensor(path)
+
+    want = np.asarray(codecs.dequantize_matmul_weight(qt))
+    for tp in (2, 4):
+        sq = tpmod.from_global(qt2, tp, axis=0)
+        got = np.asarray(tpmod.dequantize_tp(sq).astype(want.dtype))
+        np.testing.assert_array_equal(got, want, err_msg=f"tp={tp}")
+
+
+@pytest.mark.parametrize("fmt", ["nf4", "int8"])
+def test_tp_forward_equivalence(setup, fmt):
+    """shard_map TP forward == dense forward on the dequantized oracle."""
+    params, toks = setup
+    mesh = make_mesh(data=2, model=4)
+    tp_params = tpmod.tp_llama_params(params, CFG, 4, fmt=fmt, block_size=64)
+
+    # oracle: same quantized values, dense single-device execution
+    oracle = {
+        "tok_emb": params["tok_emb"],
+        "norm_f": params["norm_f"],
+        "lm_head": tpmod.dequantize_tp(tp_params["lm_head"]).astype(
+            jnp.float32
+        ),
+        "layers": [],
+    }
+    for lp in tp_params["layers"]:
+        ol = {"attn_norm": lp["attn_norm"], "ffn_norm": lp["ffn_norm"]}
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            ol[name] = tpmod.dequantize_tp(lp[name]).astype(jnp.float32)
+        oracle["layers"].append(ol)
+
+    want, _ = llama.forward(oracle, toks, CFG, use_kernel=False)
+    got = tpmod.tp_llama_forward(tp_params, toks, CFG, mesh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tp_forward_matches_dense_model_closely(setup):
+    """End-to-end sanity: TP-quantized forward correlates with the dense
+    model (quantization noise only)."""
+    params, toks = setup
+    mesh = make_mesh(data=2, model=2)
+    tp_params = tpmod.tp_llama_params(params, CFG, 2, fmt="int8",
+                                      block_size=64)
+    dense, _ = llama.forward(params, toks, CFG, use_kernel=False)
+    got = tpmod.tp_llama_forward(tp_params, toks, CFG, mesh)
+    corr = np.corrcoef(np.asarray(dense).ravel(),
+                       np.asarray(got).ravel())[0, 1]
+    assert corr > 0.999
