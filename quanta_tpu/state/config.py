@@ -57,6 +57,25 @@ class QuantConfig:
     def from_dict(d: Dict[str, Any]) -> "QuantConfig":
         return QuantConfig(**d)
 
+    @staticmethod
+    def from_mode(mode: str, *, block_size: int = 64, **kw) -> "QuantConfig":
+        """Build a config from a matmul weight-format name (the inverse of
+        ptq.config_to_mode): int8/int4 -> symmetric, nf4/nf4a/nf8/fp4/fp8
+        -> codebook, llm_int8 -> llm_int8."""
+        if mode == "llm_int8":
+            return QuantConfig(bits=8, scheme="llm_int8",
+                               block_size=block_size, **kw)
+        if mode in ("int8", "int4"):
+            return QuantConfig(bits=int(mode[3:]), scheme="symmetric",
+                               block_size=block_size, **kw)
+        if mode in ("nf4", "nf4a", "fp4"):
+            return QuantConfig(bits=4, scheme="codebook", codebook=mode,
+                               block_size=block_size, **kw)
+        if mode in ("nf8", "fp8"):
+            return QuantConfig(bits=8, scheme="codebook", codebook=mode,
+                               block_size=block_size, **kw)
+        raise ValueError(f"unknown weight format {mode!r}")
+
 
 class ConfigTree:
     """Three-tier config resolution: global -> per-layer regex -> per-tensor.
