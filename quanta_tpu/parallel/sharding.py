@@ -87,6 +87,72 @@ def llama_param_specs(cfg: LlamaConfig, params: Optional[dict] = None) -> dict:
     return specs
 
 
+def fsdp_param_specs(
+    cfg: LlamaConfig, params: Optional[dict] = None, tp: bool = True
+) -> dict:
+    """ZeRO-3/FSDP-style weight specs (SURVEY.md §2.5 table, QLoRA memory row).
+
+    Every 2-D weight is additionally sharded along the 'data' axis on the
+    dimension tensor parallelism leaves unsharded, so each device holds
+    1/(data*model) of the weights; XLA's SPMD partitioner inserts the
+    per-layer all-gathers at use (the ZeRO-3 pattern) and overlaps them
+    with compute. With ``tp=False`` the 'model' factor is dropped and
+    weights shard on 'data' only (pure FSDP).
+
+    For QuantizedTensor leaves the codes and their block scales shard with
+    the same spec (scales live along K in blocks), so a 'data' shard of a
+    split_k-packed weight is self-contained — same invariant as TP
+    sharding. Call :func:`check_fsdp_divisibility` first.
+    """
+    mdl = "model" if tp else None
+    col = P("data", mdl)  # (K, N) out-col sharded by TP -> shard K on data
+    row = P(mdl, "data")  # (K, N) in-row sharded by TP -> shard N on data
+    rep = P()
+    layer = {
+        "attn_norm": rep,
+        "wq": col,
+        "wk": col,
+        "wv": col,
+        "wo": row,
+        "ffn_norm": rep,
+        "w_gate": col,
+        "w_up": col,
+        "w_down": row,
+    }
+    n_layers = cfg.n_layers if params is None else len(params["layers"])
+    specs = {
+        "tok_emb": P("data", None),
+        "norm_f": rep,
+        "layers": [dict(layer) for _ in range(n_layers)],
+    }
+    if params is None or "lm_head" in params:
+        specs["lm_head"] = col
+    return specs
+
+
+def check_fsdp_divisibility(
+    cfg: LlamaConfig, data: int, tp: int = 1, block_size: int = 64
+) -> None:
+    """Validate FSDP sharding of packed codes + scale blocks divides evenly."""
+    if tp > 1:
+        check_divisibility(cfg, tp, block_size)
+    problems = []
+    for k_dim, what in ((cfg.dim, "dim"), (cfg.hidden_dim, "hidden_dim")):
+        if (k_dim // 2) % data or (k_dim // block_size) % data:
+            problems.append(
+                f"data-shard of K={k_dim} ({what}): packed rows or scale "
+                f"blocks not divisible by data={data}"
+            )
+    out_dims = (cfg.n_heads * cfg.head_dim, cfg.n_kv_heads * cfg.head_dim,
+                cfg.hidden_dim, cfg.dim)
+    for n_dim in out_dims:
+        if (n_dim // max(tp, 1)) % data:
+            problems.append(f"data-shard of N={n_dim}/tp={tp} not divisible "
+                            f"by data={data}")
+    if problems:
+        raise ValueError("; ".join(problems))
+
+
 def cache_specs(cfg: LlamaConfig) -> dict:
     """KV cache (L, B, T, n_kv, hd): batch on 'data', kv heads on 'model'."""
     kv = P(None, "data", None, "model", None)

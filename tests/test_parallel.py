@@ -121,3 +121,63 @@ def test_specs_cover_all_params(setup):
         lambda s, p: None, specs, params,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def test_fsdp_weight_sharding(mesh, setup):
+    """FSDP specs: forward matches unsharded; per-device shard is 1/N."""
+    from quanta_tpu.parallel import check_fsdp_divisibility, fsdp_param_specs
+
+    params, toks = setup
+    check_fsdp_divisibility(CFG, data=2, tp=4)
+    qparams = qnn.quantize_params(params, mode="nf4", block_size=64, min_size=1024)
+    ref, _ = llama.forward(qparams, toks, CFG)
+    specs = fsdp_param_specs(CFG, qparams)
+    sharded = shard_params(qparams, mesh, specs=specs)
+
+    # every device holds 1/8 of each quantized weight (codes AND scales)
+    wq = sharded["layers"][0]["wq"]
+    for arr in (wq.codes, wq.scale):
+        shard_elems = arr.addressable_shards[0].data.size
+        assert shard_elems * 8 == arr.size
+
+    toks_s = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+    out, _ = jax.jit(lambda p, t: llama.forward(p, t, CFG))(sharded, toks_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fsdp_pure_data_axis(setup):
+    """tp=False variant shards on 'data' only (pure ZeRO-3)."""
+    from quanta_tpu.parallel import fsdp_param_specs
+
+    params, _ = setup
+    mesh8 = make_mesh(data=8, model=1)
+    specs = fsdp_param_specs(CFG, params, tp=False)
+    sharded = shard_params(params, mesh8, specs=specs)
+    wq = sharded["layers"][0]["wq"]
+    assert wq.addressable_shards[0].data.shape[0] * 8 == wq.shape[0]
+
+
+def test_fsdp_qlora_train_step(mesh, setup):
+    """QLoRA train step over FSDP-sharded frozen base converges."""
+    from quanta_tpu.parallel import fsdp_param_specs
+
+    params, _ = setup
+    qparams = qnn.quantize_params(params, mode="nf4", block_size=64, min_size=1024)
+    qparams = train.add_lora(qparams, jax.random.PRNGKey(2), rank=4, dtype=jnp.float32)
+    sharded = shard_params(qparams, mesh, specs=fsdp_param_specs(CFG, qparams))
+
+    adapters = train.extract_adapters(sharded)
+    tx = qoptim.adam8bit(1e-3)
+    opt_state = tx.init(adapters)
+    batch = {
+        "inputs": jax.device_put(
+            jnp.zeros((4, 16), jnp.int32), NamedSharding(mesh, P("data", None))
+        ),
+        "targets": jax.device_put(
+            jnp.ones((4, 16), jnp.int32), NamedSharding(mesh, P("data", None))
+        ),
+    }
+    step = jax.jit(train.make_qlora_train_step(CFG, tx))
+    a1, o1, loss1 = step(adapters, opt_state, sharded, batch)
+    _, _, loss2 = step(a1, o1, sharded, batch)
+    assert jnp.isfinite(loss1) and float(loss2) < float(loss1)
