@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from quanta_tpu.core import codecs  # noqa: E402
 from quanta_tpu.ops import matmul as mm  # noqa: E402
+from quanta_tpu.profiling import matmul_roofline  # noqa: E402
 
 
 def slope_time(op, x, L0=16, L1=272, reps=4):
@@ -89,11 +90,16 @@ def main():
             w = jax.random.normal(kw, (K, N), jnp.float32) * 0.02
             wb = w.astype(jnp.bfloat16)
             t_dense = slope_time(lambda a: a @ wb, x)
-            row = [f"{t_dense*1e6:.1f} us"]
+            rl_dense = matmul_roofline(M, K, N, weight_bits=16)
+            row = [f"{t_dense*1e6:.1f} us ({rl_dense.pct(t_dense):.0f}%RL)"]
             for fmt in fmts:
                 qt = codecs.quantize_matmul_weight(w, fmt=fmt, block_size=block)
                 t = slope_time(lambda a, qt=qt: mm.matmul_quantized(a, qt), x)
-                row.append(f"{t*1e6:.1f} us ({t_dense/t:.2f}x)")
+                bits = 4 if qt.bits == 4 else 8
+                rl = matmul_roofline(M, K, N, weight_bits=bits,
+                                     block_size=block)
+                row.append(
+                    f"{t*1e6:.1f} us ({t_dense/t:.2f}x, {rl.pct(t):.0f}%RL)")
             line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"
             lines.append(line)
             print(line, flush=True)
@@ -102,6 +108,9 @@ def main():
     lines += [
         "Notes:",
         "- `(Nx)` = speedup vs dense bf16 on the same shape; >1 is faster.",
+        "- `%RL` = percent of the shape's roofline (max of HBM-bytes and",
+        "  MXU-flops floors for the format's weight bit-width; see",
+        "  quanta_tpu.profiling.matmul_roofline).",
         "- nf4a/int4 dequantize arithmetically (Horner polynomial) and beat",
         "  dense bf16 in memory-bound decode; table-lookup nf4 pays ~20 VPU",
         "  ops per weight element for exact QLoRA-NF4 levels.",

@@ -80,3 +80,38 @@ def test_masked_for_lora():
     upd, _ = tx.update(g, state, params)
     assert float(jnp.abs(upd["base"]).max()) == 0.0
     assert float(jnp.abs(upd["lora_a"]).max()) > 0.0
+
+
+def test_profiling_roofline_math():
+    """Roofline accounting: bytes/flops bookkeeping and bound selection."""
+    from quanta_tpu.profiling import _DEVICE_TABLE, matmul_roofline, device_spec
+
+    v5e = _DEVICE_TABLE["v5e"]
+    # decode shape, 4-bit weight: memory-bound (t_hbm > t_mxu)
+    r4 = matmul_roofline(8, 2048, 2048, weight_bits=4, block_size=64,
+                         device=v5e)
+    assert r4.flops == 2 * 8 * 2048 * 2048
+    expect_bytes = (8 * 2048 * 2 + 2048 * 2048 // 2
+                    + (2048 // 64) * 2048 * 4 + 8 * 2048 * 2)
+    assert r4.bytes == expect_bytes
+    assert r4.t_roofline_s == r4.t_hbm_s > r4.t_mxu_s
+    # same shape bf16 moves ~3.4x the bytes
+    r16 = matmul_roofline(8, 2048, 2048, weight_bits=16, device=v5e)
+    assert 3.0 < r16.bytes / r4.bytes < 4.0
+    # huge-M prefill: compute-bound
+    rc = matmul_roofline(4096, 4096, 4096, weight_bits=16, device=v5e)
+    assert rc.t_roofline_s == rc.t_mxu_s
+    # pct is monotone: slower measurement -> lower pct
+    assert r4.pct(r4.t_roofline_s) == 100.0
+    assert r4.pct(2 * r4.t_roofline_s) == 50.0
+    assert device_spec().hbm_gbps > 0
+
+
+def test_profiling_measure_cpu():
+    """measure() returns a sane positive per-op time on CPU."""
+    from quanta_tpu.profiling import measure
+
+    x = jnp.ones((256, 256), jnp.float32)
+    w = jnp.ones((256, 256), jnp.float32)
+    t = measure(lambda a: a @ w, x, L0=4, L1=36, reps=2)
+    assert 0 < t < 1.0
