@@ -88,6 +88,7 @@ class Engine:
         use_kernel: Optional[bool] = None,
         top_k: int = 0,
         rng_seed: int = 0,
+        recorder=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -115,6 +116,7 @@ class Engine:
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
+        self.recorder = recorder  # optional quanta_tpu.metrics.MetricsRecorder
 
     # ------------------------------------------------------------- intake
 
@@ -212,6 +214,7 @@ class Engine:
         active_ids = [i for i, s in enumerate(self.slots) if s.busy]
         if not active_ids:
             return 0
+        t_step0 = time.perf_counter()
 
         positions = np.full((self.n_slots,), -1, np.int32)
         tokens = np.zeros((self.n_slots,), np.int32)
@@ -239,6 +242,9 @@ class Engine:
 
         self._steps += 1
         self._decode_tokens += len(active_ids)
+        if self.recorder is not None:
+            self.recorder.count("decode_tokens", len(active_ids))
+            self.recorder.observe("decode_step", time.perf_counter() - t_step0)
         for i in active_ids:
             slot = self.slots[i]
             tok = int(next_tokens[i])
@@ -279,4 +285,6 @@ class Engine:
             m["ttft_p99_ms"] = round(
                 1e3 * ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))], 2
             )
+        if self.recorder is not None:
+            m.update(self.recorder.snapshot())
         return m

@@ -145,3 +145,31 @@ def test_engine_sampling_temperature(tiny):
                            sampling=sp)])[0].output
     assert o1 != o2  # different seeds draw different samples
     assert all(0 <= t < cfg.vocab_size for t in o1 + o2)
+
+
+def test_engine_metrics_recorder(tmp_path):
+    """MetricsRecorder wired into the engine: JSONL export + timer stats."""
+    import json
+
+    from quanta_tpu.metrics import MetricsRecorder, device_memory_stats
+
+    cfg = llama.LlamaConfig.tiny(max_seq_len=64)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "metrics.jsonl")
+    rec = MetricsRecorder(path=path)
+    eng = Engine(params, cfg, n_slots=2, page_size=8,
+                 prefill_buckets=(8,), use_kernel=False, recorder=rec)
+    reqs = [Request(uid=i, prompt=np.asarray([1, 2, 3], np.int32),
+                    max_new_tokens=5) for i in range(2)]
+    eng.run(reqs)
+    m = eng.metrics()
+    assert m["output_tokens"] == 10
+    assert m["decode_tokens"] == 8  # prefill emits the first token of each
+    assert m["decode_step_count"] == m["decode_steps"]
+    assert m["decode_step_p50_s"] > 0
+    rec.gauge("hbm_bytes", device_memory_stats().get("bytes_in_use", 0.0))
+    snap = rec.emit(step=1)
+    rec.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines and lines[-1]["step"] == 1
+    assert lines[-1]["decode_tokens"] == 8
