@@ -34,7 +34,7 @@ def main():
     # three-tier rules: NF4a default, first layer + lm_head kept at 8-bit
     tree = ConfigTree(default=QuantConfig(bits=4, scheme="codebook",
                                           codebook="nf4a", block_size=32))
-    tree.config_layer(r"layers\.0\.", bits=8, scheme="symmetric", codebook=None)
+    tree.config_layer(r"layers/0/", bits=8, scheme="symmetric", codebook=None)
     tree.config_layer(r"lm_head", bits=8, scheme="symmetric", codebook=None)
 
     # calibration batches: random byte "text" through the model

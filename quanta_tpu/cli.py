@@ -135,6 +135,12 @@ def _tokens_from_text(path: str, model_dir):
 # -------------------------------------------------------------- commands
 
 
+def _norm_npz(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; normalize up front so
+    the name we report (and later open) is the name actually written."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def cmd_quantize(args):
     _maybe_cpu(args)
     import jax
@@ -142,6 +148,8 @@ def cmd_quantize(args):
     from quanta_tpu import ptq
     from quanta_tpu.state.config import ConfigTree, QuantConfig
     from quanta_tpu.utils import serialization
+
+    args.out = _norm_npz(args.out)
 
     params, cfg, arch, model_dir = load_model(args)
     n_bytes_in = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
@@ -256,6 +264,8 @@ def cmd_finetune(args):
     import numpy as np
 
     from quanta_tpu import nn as qnn, optim as qoptim, train
+
+    args.out = _norm_npz(args.out)
     from quanta_tpu.utils import serialization
 
     params, cfg, arch, model_dir = load_model(args)

@@ -20,6 +20,7 @@ Example::
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
@@ -55,6 +56,7 @@ def quantize_model(
     stats: Optional[Dict[str, calib.ActivationStats]] = None,
     min_size: int = 4096,
     predicate: Optional[Callable] = None,
+    strict_rules: bool = False,
 ):
     """Quantize a whole param tree under three-tier config resolution.
 
@@ -66,7 +68,11 @@ def quantize_model(
       input activations fake-quantized over the range reduced from the
       stats by the configured calibration method;
     - ``scheme="llm_int8"`` leaves use calibrated per-feature activation
-      maxima for outlier selection when stats are available.
+      maxima for outlier selection when stats are available;
+    - layer rules that match zero quantizable tensors are reported: a
+      warning by default, ValueError with ``strict_rules=True`` (tree
+      paths are '/'-joined — ``layers/0/wq`` — so a dotted regex like
+      ``layers\\.0\\.`` silently matches nothing otherwise).
     """
     tree = tree or ConfigTree()
     if calib_batches is not None:
@@ -79,12 +85,13 @@ def quantize_model(
 
     act_ranges: Dict[str, tuple] = {}
     act_bits: Dict[str, int] = {}
+    rule_counts: Dict[int, int] = {}
 
     def maybe_quant(path, leaf):
         name = calib._path_name(path)
         if not pred(path, leaf):
             return leaf
-        cfg = tree.resolve(name)
+        cfg = tree.resolve(name, counts=rule_counts)
         mode = config_to_mode(cfg)
         colmax = None
         if stats is not None and name in stats:
@@ -109,6 +116,20 @@ def quantize_model(
         params,
         is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int8Weight)),
     )
+    dead = [
+        pattern
+        for i, (pattern, _) in enumerate(tree.layer_rules)
+        if rule_counts.get(i, 0) == 0
+    ]
+    if dead:
+        msg = (
+            f"config layer rules matched zero quantizable tensors: {dead}. "
+            "Tree paths are '/'-joined (e.g. 'layers/0/wq'); check the "
+            "regex against quanta_tpu.calib._path_name output."
+        )
+        if strict_rules:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     if act_ranges:
         out = calib.apply_activation_quant(out, act_ranges, bits=8)
     return out

@@ -65,6 +65,7 @@ class _Slot:
     pages: List[int] = dataclasses.field(default_factory=list)
     seq_len: int = 0  # tokens whose KV is already in the pool
     last_token: int = 0
+    admit_seq: int = 0  # monotone admission order (preemption picks newest)
 
     @property
     def busy(self) -> bool:
@@ -87,6 +88,8 @@ class Engine:
         eos_id: Optional[int] = None,
         use_kernel: Optional[bool] = None,
         top_k: int = 0,
+        max_top_k: int = 0,
+        max_admits_per_step: int = 1,
         rng_seed: int = 0,
         recorder=None,
     ):
@@ -94,7 +97,13 @@ class Engine:
         self.cfg = cfg
         self.n_slots = n_slots
         self.page_size = page_size
+        # top_k: engine-wide static truncation applied to every request.
+        # max_top_k: static CAP under which each request's own sampling.top_k
+        # is honored every step (0 disables per-request top-k; requests
+        # asking for it are rejected at submit instead of silently ignored).
         self.top_k = top_k
+        self.max_top_k = max_top_k
+        self.max_admits_per_step = max_admits_per_step
         self.prefill_buckets = tuple(
             sorted({b for b in prefill_buckets if b < cfg.max_seq_len}
                    | {cfg.max_seq_len})
@@ -116,11 +125,36 @@ class Engine:
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
+        self._admit_counter = 0
+        self._preemptions = 0
         self.recorder = recorder  # optional quanta_tpu.metrics.MetricsRecorder
 
     # ------------------------------------------------------------- intake
 
     def submit(self, req: Request) -> None:
+        """Enqueue a request, rejecting up front anything the engine could
+        never serve (so the step loop can't deadlock on the head of line)."""
+        prompt_len = len(req.prompt)
+        total_len = prompt_len + req.max_new_tokens
+        if total_len > self.cfg.max_seq_len:
+            raise ValueError(
+                f"request {req.uid}: prompt ({prompt_len}) + max_new_tokens "
+                f"({req.max_new_tokens}) exceeds max_seq_len "
+                f"{self.cfg.max_seq_len}"
+            )
+        worst_pages = self._pages_needed(total_len)
+        capacity = self.alloc.n_pages - 1  # page 0 is the reserved null page
+        if worst_pages > capacity:
+            raise ValueError(
+                f"request {req.uid}: worst-case page need {worst_pages} "
+                f"exceeds pool capacity {capacity}; raise n_pages"
+            )
+        if req.sampling.top_k > self.max_top_k:
+            raise ValueError(
+                f"request {req.uid}: sampling.top_k={req.sampling.top_k} "
+                f"exceeds the engine's static max_top_k={self.max_top_k}; "
+                "construct the Engine with a larger max_top_k"
+            )
         req.t_arrival = req.t_arrival or time.perf_counter()
         self.waiting.append(req)
 
@@ -139,8 +173,16 @@ class Engine:
         req = self.waiting[0]
         prompt_len = len(req.prompt)
         bucket = runner.pick_bucket(prompt_len, self.prefill_buckets)
-        n_prompt_pages = self._pages_needed(bucket)
-        if n_prompt_pages > self.alloc.free_pages:
+        # Pages are allocated for the REAL prompt length (+1 token of
+        # headroom so the decode step right after admission can always
+        # write the first generated token's KV), NOT for the padded
+        # prefill bucket: the bucket's padding positions write into the
+        # reserved null page 0, which attention always masks. This keeps
+        # page pressure proportional to actual tokens and guarantees a
+        # preempted-and-regrown request can always be re-admitted.
+        n_real = self._pages_needed(max(prompt_len, 1))
+        n_keep = self._pages_needed(prompt_len + 1)
+        if n_keep > self.alloc.free_pages:
             return False  # pool pressure: wait for a retirement
         self.waiting.popleft()
         slot_id = free[0]
@@ -155,29 +197,33 @@ class Engine:
             self.cfg,
             use_kernel=self.use_kernel,
         )
-        pages = self.alloc.alloc(n_prompt_pages)
+        pages = self.alloc.alloc(n_keep)
+        n_bucket_pages = self._pages_needed(bucket)
+        write_vec = pages[:n_real] + [0] * (n_bucket_pages - n_real)
         self.pool = kvcache.write_prefill(
-            self.pool, jnp.asarray(pages, jnp.int32), k_seq, v_seq
+            self.pool, jnp.asarray(write_vec, jnp.int32), k_seq, v_seq
         )
         self._rng, key = jax.random.split(self._rng)
         first = int(sample(last_logits[None], key, req.sampling)[0])
-        req.t_first_token = time.perf_counter()
+        if not req.t_first_token:  # preserved across preemption
+            req.t_first_token = time.perf_counter()
         req.output.append(first)
 
         slot.request = req
         slot.pages = pages
         slot.seq_len = prompt_len
         slot.last_token = first
+        self._admit_counter += 1
+        slot.admit_seq = self._admit_counter
         self._page_table[slot_id, :] = 0
-        self._page_table[slot_id, :n_prompt_pages] = pages
-        if self._maybe_finish(slot_id, first):
-            return True
-        self._grow_if_needed(slot_id)
+        self._page_table[slot_id, : len(pages)] = pages
+        self._maybe_finish(slot_id, first)
         return True
 
-    def _grow_if_needed(self, slot_id: int) -> None:
+    def _grow_if_needed(self, slot_id: int) -> bool:
         """Ensure the page holding position ``seq_len`` exists (the next
-        decode step writes the KV of last_token at that position)."""
+        decode step writes the KV of last_token at that position).
+        Returns False if the pool has no free page (caller preempts)."""
         slot = self.slots[slot_id]
         page_idx = slot.seq_len // self.page_size
         if page_idx >= self.max_pages_per_slot:
@@ -186,9 +232,51 @@ class Engine:
                 f"{self.cfg.max_seq_len}"
             )
         if page_idx >= len(slot.pages):
+            if self.alloc.free_pages < 1:
+                return False
             (new_page,) = self.alloc.alloc(1)
             slot.pages.append(new_page)
             self._page_table[slot_id, page_idx] = new_page
+        return True
+
+    def _preempt(self, slot_id: int) -> None:
+        """Evict a running request under pool pressure: free its pages and
+        requeue it at the head of the line with its generated tokens folded
+        into the prompt, so re-admission re-prefills the full context and
+        generation resumes exactly where it stopped (t_first_token and the
+        max_new_tokens budget are preserved)."""
+        slot = self.slots[slot_id]
+        req = slot.request
+        req.prompt = np.concatenate(
+            [np.asarray(req.prompt, np.int32),
+             np.asarray(req.output, np.int32)]
+        )
+        self.alloc.free(slot.pages)
+        self._page_table[slot_id, :] = 0
+        self.slots[slot_id] = _Slot()
+        self.waiting.appendleft(req)
+        self._preemptions += 1
+        if self.recorder is not None:
+            self.recorder.count("preemptions", 1)
+
+    def _ensure_growth(self, slot_id: int) -> None:
+        """Backpressure instead of MemoryError: when the pool is exhausted
+        mid-decode, preempt the most recently admitted *other* request until
+        this slot can grow. Submit-time capacity checks guarantee progress:
+        a lone request's worst-case page need always fits the pool."""
+        while not self._grow_if_needed(slot_id):
+            victims = [
+                i
+                for i, s in enumerate(self.slots)
+                if s.busy and i != slot_id
+            ]
+            if not victims:
+                raise MemoryError(
+                    f"KV pool exhausted with a single active request "
+                    f"(uid {self.slots[slot_id].request.uid}); this should "
+                    "be impossible past the submit-time capacity check"
+                )
+            self._preempt(max(victims, key=lambda i: self.slots[i].admit_seq))
 
     def _maybe_finish(self, slot_id: int, token: int) -> bool:
         slot = self.slots[slot_id]
@@ -207,10 +295,19 @@ class Engine:
     # ----------------------------------------------------------- step loop
 
     def step(self) -> int:
-        """Admit as many requests as fit, then run one decode step.
-        Returns the number of active slots that produced a token."""
-        while self._try_admit():
-            pass
+        """Admit up to ``max_admits_per_step`` requests, then run one decode
+        step. Returns the number of active slots that produced a token.
+
+        The admission budget bounds how long running requests can stall on
+        newcomers' prefills in any single step (one prefill's latency,
+        rather than up to n_slots of them back-to-back); admission still
+        happens every step, so free slots refill continuously. If no slot
+        is decoding there is nothing to stall — admit until full."""
+        budget = self.max_admits_per_step
+        if not any(s.busy for s in self.slots):
+            budget = self.n_slots
+        while budget > 0 and self._try_admit():
+            budget -= 1
         active_ids = [i for i, s in enumerate(self.slots) if s.busy]
         if not active_ids:
             return 0
@@ -234,17 +331,28 @@ class Engine:
         )
         self._rng, key = jax.random.split(self._rng)
         temps = np.zeros((self.n_slots,), np.float32)
+        top_ks = np.zeros((self.n_slots,), np.int32)
         for i in active_ids:
             temps[i] = self.slots[i].request.sampling.temperature
-        next_tokens = np.asarray(
-            _sample_batch(logits, key, jnp.asarray(temps), top_k=self.top_k)
-        )
+            top_ks[i] = self.slots[i].request.sampling.top_k
+        if self.max_top_k > 0:
+            next_tokens = np.asarray(
+                _sample_batch(
+                    logits, key, jnp.asarray(temps),
+                    top_ks=jnp.asarray(top_ks), max_top_k=self.max_top_k,
+                )
+            )
+        else:
+            next_tokens = np.asarray(
+                _sample_batch(logits, key, jnp.asarray(temps), top_k=self.top_k)
+            )
 
         self._steps += 1
         self._decode_tokens += len(active_ids)
         if self.recorder is not None:
             self.recorder.count("decode_tokens", len(active_ids))
             self.recorder.observe("decode_step", time.perf_counter() - t_step0)
+        grow_ids = []
         for i in active_ids:
             slot = self.slots[i]
             tok = int(next_tokens[i])
@@ -252,7 +360,14 @@ class Engine:
             slot.seq_len += 1
             slot.last_token = tok
             if not self._maybe_finish(i, tok):
-                self._grow_if_needed(i)
+                grow_ids.append(i)
+        # growth happens after every token is recorded (a preempted slot
+        # keeps its token: _preempt folds output into the requeued prompt);
+        # oldest-first so that, under pool pressure, senior requests preempt
+        # junior ones, never the other way around
+        for i in sorted(grow_ids, key=lambda i: self.slots[i].admit_seq):
+            if self.slots[i].busy:  # may have been preempted by a senior
+                self._ensure_growth(i)
         return len(active_ids)
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
@@ -279,6 +394,7 @@ class Engine:
             if self._t_serve
             else 0.0,
             "pool_pages_free": self.alloc.free_pages,
+            "preemptions": self._preemptions,
         }
         if ttfts:
             m["ttft_p50_ms"] = round(1e3 * ttfts[len(ttfts) // 2], 2)

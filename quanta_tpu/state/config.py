@@ -109,15 +109,29 @@ class ConfigTree:
         self._tensor_overrides.setdefault(name, {}).update(overrides)
         return self
 
-    def resolve(self, name: str) -> QuantConfig:
+    def resolve(
+        self, name: str, counts: Optional[Dict[int, int]] = None
+    ) -> QuantConfig:
         """Resolve the effective config for a tensor-tree path like
-        ``layers/0/attn/wq``."""
+        ``layers/0/attn/wq``.
+
+        ``counts``: optional dict the caller threads through a whole-model
+        pass; each matching layer-rule index increments its entry, so the
+        caller can detect rules that matched zero tensors (a silently-dead
+        regex is the classic config sharp edge — e.g. ``layers\\.0\\.``
+        against '/'-joined paths)."""
         merged = self.default.to_dict()
-        for pattern, ov in self._layer_rules:
+        for i, (pattern, ov) in enumerate(self._layer_rules):
             if re.search(pattern, name):
                 merged.update(ov)
+                if counts is not None:
+                    counts[i] = counts.get(i, 0) + 1
         merged.update(self._tensor_overrides.get(name, {}))
         return QuantConfig.from_dict(merged)
+
+    @property
+    def layer_rules(self) -> List[Tuple[str, Dict[str, Any]]]:
+        return list(self._layer_rules)
 
     # -- JSON round trip (reference state.py:81-130 behavior) --
     def to_json(self) -> str:

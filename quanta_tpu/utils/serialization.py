@@ -172,13 +172,132 @@ def _flatten_tree(tree):
     return flat, kinds
 
 
+def _put_array(arrays: Dict[str, np.ndarray], key: str, a) -> Dict[str, Any]:
+    """Store one array under ``key``; returns per-array metadata (bf16 is
+    stored as its uint16 bits since numpy npz can't hold bfloat16)."""
+    a = np.asarray(a)
+    entry: Dict[str, Any] = {}
+    if a.dtype == jnp.bfloat16:
+        entry["view_dtype"] = "bfloat16"
+        a = a.view(np.uint16)
+    arrays[key] = a
+    return entry
+
+
+def _get_array(z, key: str, entry: Dict[str, Any]):
+    a = jnp.asarray(z[key])
+    if entry.get("view_dtype"):
+        a = a.view(entry["view_dtype"])
+    return a
+
+
+def _save_leaf(name: str, leaf, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Serialize one leaf (recursing into wrapper weights); returns its
+    JSON-able metadata entry. Raises TypeError on unsupported leaf types
+    instead of silently pickling them (which load, with allow_pickle=False,
+    could never read back)."""
+    from quanta_tpu import calib
+    from quanta_tpu.nn.lora import LoRAWeight
+    from quanta_tpu.ops.int8mm import Int8Weight
+
+    if isinstance(leaf, QuantizedTensor):
+        entry: Dict[str, Any] = {"kind": "qtensor", **_meta(leaf)}
+        arrays[f"{name}.codes"] = np.asarray(leaf.codes)
+        arrays[f"{name}.scale"] = np.asarray(leaf.scale)
+        if leaf.zero_point is not None:
+            arrays[f"{name}.zp"] = np.asarray(leaf.zero_point)
+        return entry
+    if isinstance(leaf, Int8Weight):
+        entry = {
+            "kind": "int8weight",
+            "threshold": leaf.threshold,
+            "shape": list(leaf.shape),
+        }
+        for field in ("codes", "scale", "outlier_idx", "w_outlier"):
+            entry[field] = _put_array(
+                arrays, f"{name}.{field}", getattr(leaf, field)
+            )
+        return entry
+    if isinstance(leaf, LoRAWeight):
+        entry = {
+            "kind": "lora",
+            "alpha": leaf.alpha,
+            "base": _save_leaf(f"{name}.base", leaf.base, arrays),
+        }
+        entry["lora_a"] = _put_array(arrays, f"{name}.lora_a", leaf.lora_a)
+        entry["lora_b"] = _put_array(arrays, f"{name}.lora_b", leaf.lora_b)
+        return entry
+    if isinstance(leaf, calib.ActQuantWeight):
+        entry = {
+            "kind": "actquant",
+            "bits": leaf.bits,
+            "w": _save_leaf(f"{name}.w", leaf.w, arrays),
+        }
+        entry["lo"] = _put_array(arrays, f"{name}.lo", leaf.lo)
+        entry["hi"] = _put_array(arrays, f"{name}.hi", leaf.hi)
+        return entry
+    if isinstance(leaf, calib.TapWeight):
+        # taps are a calibration-time instrumentation detail, not state
+        entry = _save_leaf(name, leaf.w, arrays)
+        return entry
+    if isinstance(leaf, (jax.Array, np.ndarray)) or np.isscalar(leaf):
+        entry = {"kind": "array"}
+        entry.update(_put_array(arrays, f"{name}.a", leaf))
+        return entry
+    raise TypeError(
+        f"checkpoint leaf {name!r} has unsupported type "
+        f"{type(leaf).__name__}; supported: array, QuantizedTensor, "
+        "Int8Weight, LoRAWeight, ActQuantWeight, TapWeight"
+    )
+
+
+def _load_leaf(name: str, m: Dict[str, Any], z):
+    from quanta_tpu import calib
+    from quanta_tpu.nn.lora import LoRAWeight
+    from quanta_tpu.ops.int8mm import Int8Weight
+
+    kind = m["kind"]
+    if kind == "qtensor":
+        return _from_meta(
+            m,
+            z[f"{name}.codes"],
+            z[f"{name}.scale"],
+            z[f"{name}.zp"] if m["has_zp"] else None,
+        )
+    if kind == "int8weight":
+        return Int8Weight(
+            codes=_get_array(z, f"{name}.codes", m["codes"]),
+            scale=_get_array(z, f"{name}.scale", m["scale"]),
+            outlier_idx=_get_array(z, f"{name}.outlier_idx", m["outlier_idx"]),
+            w_outlier=_get_array(z, f"{name}.w_outlier", m["w_outlier"]),
+            threshold=m["threshold"],
+            shape=tuple(m["shape"]),
+        )
+    if kind == "lora":
+        return LoRAWeight(
+            base=_load_leaf(f"{name}.base", m["base"], z),
+            lora_a=_get_array(z, f"{name}.lora_a", m["lora_a"]),
+            lora_b=_get_array(z, f"{name}.lora_b", m["lora_b"]),
+            alpha=m["alpha"],
+        )
+    if kind == "actquant":
+        return calib.ActQuantWeight(
+            w=_load_leaf(f"{name}.w", m["w"], z),
+            lo=_get_array(z, f"{name}.lo", m["lo"]),
+            hi=_get_array(z, f"{name}.hi", m["hi"]),
+            bits=m["bits"],
+        )
+    return _get_array(z, f"{name}.a", m)
+
+
 def save_checkpoint(tree, path: str) -> None:
     """Save a (possibly quantized) parameter tree to one .npz file.
 
-    QuantizedTensor leaves store codes/scale/zp arrays plus JSON metadata;
-    plain jax/numpy array leaves store as-is. Container kinds (dict vs
-    list vs tuple) are recorded per path in the ``__tree__`` metadata so
-    the structure round-trips exactly — including dicts whose keys happen
+    Quantized leaves (QuantizedTensor / Int8Weight / LoRAWeight /
+    ActQuantWeight) store their component arrays plus JSON metadata; plain
+    jax/numpy array leaves store as-is. Container kinds (dict vs list vs
+    tuple) are recorded per path in the ``__tree__`` metadata so the
+    structure round-trips exactly — including dicts whose keys happen
     to be '0'..'n-1' and empty containers. This is the framework's
     checkpoint format: packed uint8 weights + per-block scales + a JSON
     quant-state tree (SURVEY.md §5 checkpoint contract)."""
@@ -186,22 +305,8 @@ def save_checkpoint(tree, path: str) -> None:
     arrays: Dict[str, np.ndarray] = {}
     leaves: Dict[str, Any] = {}
     for name, leaf in flat.items():
-        if isinstance(leaf, QuantizedTensor):
-            leaves[name] = {"kind": "qtensor", **_meta(leaf)}
-            arrays[f"{name}.codes"] = np.asarray(leaf.codes)
-            arrays[f"{name}.scale"] = np.asarray(leaf.scale)
-            if leaf.zero_point is not None:
-                arrays[f"{name}.zp"] = np.asarray(leaf.zero_point)
-        else:
-            a = np.asarray(leaf)
-            entry = {"kind": "array"}
-            if a.dtype == jnp.bfloat16:
-                # numpy can't round-trip bf16 through npz; store the bits
-                entry["view_dtype"] = "bfloat16"
-                a = a.view(np.uint16)
-            leaves[name] = entry
-            arrays[f"{name}.a"] = a
-    meta = {"version": 2, "leaves": leaves, "containers": kinds}
+        leaves[name] = _save_leaf(name, leaf, arrays)
+    meta = {"version": 3, "leaves": leaves, "containers": kinds}
     np.savez(path, __tree__=json.dumps(meta), **arrays)
 
 
@@ -213,17 +318,7 @@ def load_checkpoint(path: str):
         kinds = meta["containers"]
         flat: Dict[str, Any] = {}
         for name, m in leaves_meta.items():
-            if m["kind"] == "qtensor":
-                flat[name] = _from_meta(
-                    m,
-                    z[f"{name}.codes"],
-                    z[f"{name}.scale"],
-                    z[f"{name}.zp"] if m["has_zp"] else None,
-                )
-            elif m.get("view_dtype"):
-                flat[name] = jnp.asarray(z[f"{name}.a"]).view(m["view_dtype"])
-            else:
-                flat[name] = jnp.asarray(z[f"{name}.a"])
+            flat[name] = _load_leaf(name, m, z)
 
     if "" in flat:  # the tree was a bare leaf
         return flat[""]

@@ -173,3 +173,29 @@ def test_registry_calibration_observable():
     err_mm = np.abs(np.asarray(dequantize(q_mm)) - w)[bulk].mean()
     err_pc = np.abs(np.asarray(dequantize(q_pc)) - w)[bulk].mean()
     assert err_pc < err_mm
+
+
+def test_quantize_model_dead_rule_reporting(tiny):
+    """A layer rule that matches zero quantizable tensors warns by default
+    (the classic dotted-regex-vs-'/'-paths sharp edge) and raises under
+    strict_rules=True."""
+    cfg, params = tiny
+    tree = (
+        ConfigTree(QuantConfig(bits=4, scheme="codebook", codebook="nf4a"))
+        .config_layer(r"layers\.0\.", bits=8, scheme="symmetric")
+    )
+    with pytest.warns(UserWarning, match="matched zero"):
+        ptq.quantize_model(params, tree, min_size=0)
+    with pytest.raises(ValueError, match="matched zero"):
+        ptq.quantize_model(params, tree, min_size=0, strict_rules=True)
+    # a matching rule is silent
+    good = ConfigTree(
+        QuantConfig(bits=4, scheme="codebook", codebook="nf4a")
+    ).config_layer(r"layers/0/", bits=8, scheme="symmetric")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        q = ptq.quantize_model(params, good, min_size=0, strict_rules=True)
+    assert q["layers"][0]["wq"].bits == 8
+    assert q["layers"][1]["wq"].bits == 4

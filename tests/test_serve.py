@@ -173,3 +173,69 @@ def test_engine_metrics_recorder(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines and lines[-1]["step"] == 1
     assert lines[-1]["decode_tokens"] == 8
+
+
+def test_engine_submit_rejects_impossible(tiny):
+    cfg, params = tiny
+    eng = Engine(params, cfg, n_slots=2, page_size=8, n_pages=4,
+                 prefill_buckets=(8,), use_kernel=False)
+    # worst-case pages (3-token prompt + 60 new = 63 tokens -> 8 pages)
+    # exceed the 3-page pool: reject at submit, don't deadlock run()
+    with pytest.raises(ValueError, match="worst-case page need"):
+        eng.submit(Request(uid=0, prompt=np.asarray([1, 2, 3], np.int32),
+                           max_new_tokens=60))
+    # prompt + max_new beyond max_seq_len
+    with pytest.raises(ValueError, match="max_seq_len"):
+        eng.submit(Request(uid=1, prompt=np.asarray([1, 2, 3], np.int32),
+                           max_new_tokens=cfg.max_seq_len))
+    # per-request top_k above the engine's static cap
+    with pytest.raises(ValueError, match="max_top_k"):
+        eng.submit(Request(uid=2, prompt=np.asarray([1, 2], np.int32),
+                           max_new_tokens=2,
+                           sampling=SamplingParams(top_k=4)))
+
+
+def test_engine_preemption_under_pool_pressure(tiny):
+    """Two concurrent requests outgrow the pool mid-decode: the junior one
+    is preempted (not MemoryError), re-prefilled on re-admission, and both
+    still produce exactly the greedy continuation."""
+    cfg, params = tiny
+    max_new = 20
+    prompts = _prompts(cfg, [3, 5])
+    # each request peaks at ceil((len+20)/8) = 4 pages; pool of 5 usable
+    # pages admits both (1 page each) but cannot hold 8 at peak
+    eng = Engine(params, cfg, n_slots=2, page_size=8, n_pages=6,
+                 prefill_buckets=(8,), use_kernel=False)
+    reqs = [Request(uid=i, prompt=p, max_new_tokens=max_new)
+            for i, p in enumerate(prompts)]
+    done = eng.run(reqs)
+    assert len(done) == 2
+    assert eng.metrics()["preemptions"] > 0
+    for req, prompt in zip(sorted(done, key=lambda r: r.uid), prompts):
+        want = llama.greedy_decode(
+            params, jnp.asarray(prompt)[None], cfg,
+            max_new_tokens=max_new, use_kernel=False,
+        )[0, len(prompt):]
+        np.testing.assert_array_equal(
+            np.asarray(req.output), np.asarray(want),
+            err_msg=f"request {req.uid} diverged after preemption",
+        )
+    assert eng.alloc.free_pages == 5  # everything returned
+
+
+def test_engine_per_request_top_k_every_step(tiny):
+    """top_k=1 with temperature>0 must equal greedy on EVERY token — the
+    regression was honoring per-request top_k only for the first token."""
+    cfg, params = tiny
+    prompt = np.asarray([1, 2, 3], np.int32)
+    max_new = 10
+    eng = Engine(params, cfg, n_slots=1, page_size=8, max_top_k=4,
+                 use_kernel=False, rng_seed=7)
+    sp = SamplingParams(temperature=1.0, top_k=1)
+    out = eng.run([Request(uid=0, prompt=prompt, max_new_tokens=max_new,
+                           sampling=sp)])[0].output
+    want = llama.greedy_decode(
+        params, jnp.asarray(prompt)[None], cfg,
+        max_new_tokens=max_new, use_kernel=False,
+    )[0, len(prompt):]
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))

@@ -237,3 +237,59 @@ def test_hardware_targets(x):
         assert (out.bits, out.scheme) == (cfg.bits, cfg.scheme)
     with pytest.raises(ValueError):
         qutils.optimize_for_target_hardware(qt, "abacus")
+
+
+def test_checkpoint_wrapper_weight_leaves(tmp_path, x):
+    """Int8Weight / LoRAWeight / ActQuantWeight leaves round-trip through
+    save_checkpoint (regression: they used to fall into np.asarray and get
+    pickled as object arrays that load_checkpoint could never read)."""
+    from quanta_tpu import calib
+    from quanta_tpu.nn.lora import LoRAWeight
+    from quanta_tpu.ops.int8mm import Int8Weight, quantize_int8_weight
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(64, 48)),
+                    jnp.float32)
+    i8 = quantize_int8_weight(w, outlier_capacity=4)
+    lora = LoRAWeight(
+        base=quantize(w, bits=4, scheme="codebook", pack=True),
+        lora_a=jnp.ones((64, 2), jnp.bfloat16),
+        lora_b=jnp.zeros((2, 48), jnp.bfloat16),
+        alpha=8.0,
+    )
+    aq = calib.ActQuantWeight(
+        w=i8, lo=jnp.float32(-1.5), hi=jnp.float32(2.5), bits=8
+    )
+    tree = {"wq": i8, "wk": lora, "wv": aq, "norm": jnp.ones((4,))}
+    p = str(tmp_path / "ckpt.npz")
+    qutils.save_checkpoint(tree, p)
+    tree2 = qutils.load_checkpoint(p)
+
+    got = tree2["wq"]
+    assert isinstance(got, Int8Weight)
+    np.testing.assert_array_equal(got.codes, i8.codes)
+    np.testing.assert_array_equal(got.outlier_idx, i8.outlier_idx)
+    assert got.w_outlier.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got.w_outlier, np.float32),
+        np.asarray(i8.w_outlier, np.float32),
+    )
+    assert got.threshold == i8.threshold and got.shape == i8.shape
+
+    got = tree2["wk"]
+    assert isinstance(got, LoRAWeight) and got.alpha == 8.0
+    assert isinstance(got.base, QuantizedTensor)
+    np.testing.assert_allclose(dequantize(got.base), dequantize(lora.base))
+    assert got.lora_a.dtype == jnp.bfloat16
+
+    got = tree2["wv"]
+    assert isinstance(got, calib.ActQuantWeight) and got.bits == 8
+    assert float(got.lo) == -1.5 and float(got.hi) == 2.5
+    assert isinstance(got.w, Int8Weight)
+
+
+def test_checkpoint_unsupported_leaf_raises(tmp_path):
+    class Weird:
+        pass
+
+    with pytest.raises(TypeError, match="unsupported type"):
+        qutils.save_checkpoint({"w": Weird()}, str(tmp_path / "bad.npz"))
