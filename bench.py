@@ -1,160 +1,16 @@
-"""Headline benchmark (driver-run, real TPU).
+"""Headline benchmark entry point (driver-run, real TPU).
 
-Measures north-star config 2 (BASELINE.md): TinyLlama-1.1B-geometry decoder
-with 4-bit blockwise weights decoding through the fused dequant-matmul
-Pallas kernels — against bf16 dense decode of the *same* model on the
-*same* chip. The reference publishes no numbers (BASELINE.md: "published":
-{}), so vs_baseline is the quantized/bf16 decode-throughput ratio: >= 1.0
-means the quantized path is at least as fast as full precision while using
-~4x less weight HBM.
-
-Headline format is **nf4a** — this framework's arithmetic NormalFloat-4
-codebook (cubic-polynomial levels, ~12% lower quantization MSE than QLoRA
-NF4 on per-block-normalized gaussian weights, and dequantizable in 3 fused
-multiply-adds per element instead of a 15-select table walk; see
-quanta_tpu/core/codebooks.py). Exact-NF4 and bf16 numbers are printed
-alongside on stderr.
-
-Timing protocol: on the axon TPU tunnel, ``block_until_ready`` does NOT
-wait for device execution, so every measurement runs its step loop inside
-one jit (lax.scan, serialized through the KV cache carry), reads the final
-scalar back to host, and takes the slope between two loop lengths.
-
-Prints ONE JSON line:
-  {"metric": "tinyllama_nf4a_decode_tokens_per_sec_per_chip",
-   "value": <tok/s>, "unit": "tokens/s/chip", "vs_baseline": <nf4a/bf16>,
-   "extra": {...decode/prefill/ttft for bf16, nf4, nf4a...}}
+The implementation lives in quanta_tpu/benchmarks/decode_bench.py (shipped
+with the package; also reachable as `quanta-tpu bench headline`). Prints
+ONE JSON line on stdout; per-format tables go to stderr.
 """
 
-import json
+import os
 import sys
-import time
-from functools import partial
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _timed(fn, params, reps=3):
-    """Best wall time of jitted fn(params, seed) including host readback.
-
-    params is an explicit argument (NOT a closure capture): closing over
-    the tree would bake ~GBs of weights into the lowered HLO as constants
-    and re-transfer them per compile over the TPU tunnel."""
-    np.asarray(fn(params, jnp.int32(0)))  # compile + warm
-    best = 1e9
-    for r in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(params, jnp.int32(r + 1)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def bench_decode(params, cfg, batch=8, prefill_len=128, cache_len=512,
-                 L0=8, L1=72):
-    """Per-token decode step time via scan-length slope. Returns seconds."""
-    from quanta_tpu.models import llama
-
-    def make_loop(L):
-        @jax.jit
-        def loop(params, seed):
-            cache = llama.init_cache(cfg, batch, max_len=cache_len)
-            toks = jnp.zeros((batch, prefill_len), jnp.int32) + (seed & 1)
-            logits, cache = llama.forward(params, toks, cfg, cache=cache)
-            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-
-            def body(carry, _):
-                cache, tok = carry
-                lg, cache = llama.forward(params, tok, cfg, cache=cache)
-                nxt = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
-                return (cache, nxt), None
-
-            (cache, tok), _ = jax.lax.scan(body, (cache, tok), None, length=L)
-            return tok.sum()
-
-        return loop
-
-    t0 = _timed(make_loop(L0), params)
-    t1 = _timed(make_loop(L1), params)
-    return max((t1 - t0) / (L1 - L0), 1e-9)
-
-
-def bench_prefill(params, cfg, batch=8, prefill_len=128, L0=2, L1=14):
-    """Per-prefill time (batch x prefill_len tokens -> first-token logits)."""
-    from quanta_tpu.models import llama
-
-    def make_loop(L):
-        @jax.jit
-        def loop(params, seed):
-            base = jnp.zeros((batch, prefill_len), jnp.int32)
-
-            def body(acc, _):
-                toks = base + (acc & 1)
-                cache = llama.init_cache(cfg, batch, max_len=prefill_len + 8)
-                logits, _ = llama.forward(params, toks, cfg, cache=cache)
-                tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return tok.sum() & 1, None
-
-            acc, _ = jax.lax.scan(body, seed & 1, None, length=L)
-            return acc
-
-        return loop
-
-    t0 = _timed(make_loop(L0), params)
-    t1 = _timed(make_loop(L1), params)
-    return max((t1 - t0) / (L1 - L0), 1e-9)
-
-
-def main():
-    from quanta_tpu import nn as qnn
-    from quanta_tpu.models import llama
-
-    log("devices:", jax.devices())
-    cfg = llama.LlamaConfig.tinyllama_1b()
-    batch, prefill_len = 8, 128
-
-    dense = llama.init_params(jax.random.PRNGKey(0), cfg)
-    jax.block_until_ready(dense)
-
-    results = {}
-    for name, params in [
-        ("bf16", dense),
-        ("nf4a", qnn.quantize_params(dense, mode="nf4a", block_size=64)),
-        ("nf4", qnn.quantize_params(dense, mode="nf4", block_size=64)),
-    ]:
-        jax.block_until_ready(params)
-        t_step = bench_decode(params, cfg, batch=batch,
-                              prefill_len=prefill_len)
-        t_prefill = bench_prefill(params, cfg, batch=batch,
-                                  prefill_len=prefill_len)
-        r = {
-            "decode_tok_s_chip": round(batch / t_step, 1),
-            "prefill_tok_s_chip": round(batch * prefill_len / t_prefill, 1),
-            "ttft_ms": round((t_prefill + t_step) * 1e3, 2),
-        }
-        results[name] = r
-        log(f"{name:5s} decode {r['decode_tok_s_chip']:8.1f} tok/s/chip | "
-            f"prefill {r['prefill_tok_s_chip']:9.1f} tok/s/chip | "
-            f"ttft {r['ttft_ms']:6.2f} ms (batch={batch}, len={prefill_len})")
-
-    vs = results["nf4a"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
-    print(
-        json.dumps(
-            {
-                "metric": "tinyllama_nf4a_decode_tokens_per_sec_per_chip",
-                "value": results["nf4a"]["decode_tok_s_chip"],
-                "unit": "tokens/s/chip",
-                "vs_baseline": round(vs, 3),
-                "extra": results,
-            }
-        )
-    )
-
+from quanta_tpu.benchmarks.decode_bench import main  # noqa: E402
 
 if __name__ == "__main__":
     main()

@@ -1,128 +1,9 @@
-"""Per-kernel microbenchmark: fused dequant-matmul vs dense bf16.
-
-Measures the production kernels (quanta_tpu.ops.matmul) at TinyLlama
-decode/prefill shapes on the real chip and writes docs/KERNEL_BENCH.md.
-
-Timing protocol (this matters on the axon TPU tunnel, where
-block_until_ready does not wait for execution): each op is applied L times
-inside one jit with a serializing carry, the scalar result is read back to
-host, and per-op time is the slope between two L values.
-
-Usage: python benchmarks/kernel_bench.py [--out docs/KERNEL_BENCH.md]
-"""
-
-import argparse
+"""Compat shim: the drivers live in quanta_tpu/benchmarks/ (shipped with
+the package). Kept so documented ``python benchmarks/kernel_bench.py``
+invocations keep working from a repo checkout."""
 import os
+import runpy
 import sys
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from quanta_tpu.core import codecs  # noqa: E402
-from quanta_tpu.ops import matmul as mm  # noqa: E402
-from quanta_tpu.profiling import matmul_roofline  # noqa: E402
-
-
-def slope_time(op, x, L0=16, L1=272, reps=4):
-    t = {}
-    for L in (L0, L1):
-
-        @jax.jit
-        def loop(seed, L=L):
-            def body(acc, _):
-                xi = x + (acc * 1e-30).astype(x.dtype)
-                out = op(xi)
-                return out.astype(jnp.float32).sum() * 1e-30, None
-
-            acc, _ = jax.lax.scan(body, seed, None, length=L)
-            return acc
-
-        np.asarray(loop(jnp.float32(0)))  # compile + warm
-        best = 1e9
-        for r in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(loop(jnp.float32(r + 1)))
-            best = min(best, time.perf_counter() - t0)
-        t[L] = best
-    return max((t[L1] - t[L0]) / (L1 - L0), 1e-9)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "KERNEL_BENCH.md"))
-    ap.add_argument("--m", type=int, nargs="+", default=[8, 128])
-    args = ap.parse_args()
-
-    dev = jax.devices()[0]
-    print("device:", dev, flush=True)
-    shapes = [  # TinyLlama-1.1B projection shapes
-        ("qkv/o proj", 2048, 2048),
-        ("gate/up   ", 2048, 5632),
-        ("down      ", 5632, 2048),
-        ("lm_head   ", 2048, 32000),
-    ]
-    fmts = ["nf4a", "nf4", "int4", "int8"]
-    block = 64
-
-    lines = [
-        "# Kernel microbenchmarks — fused dequant-matmul vs dense bf16",
-        "",
-        f"Device: `{dev}` · block_size={block} · timing: in-jit scan slope "
-        "(see benchmarks/kernel_bench.py docstring)",
-        "",
-    ]
-    for M in args.m:
-        lines += [
-            f"## M = {M} ({'decode' if M <= 16 else 'prefill'} shape)",
-            "",
-            "| matmul (K x N) | dense bf16 | " + " | ".join(fmts) + " |",
-            "|---|---|" + "---|" * len(fmts),
-        ]
-        for label, K, N in shapes:
-            kx, kw = jax.random.split(jax.random.PRNGKey(K + N))
-            x = jax.random.normal(kx, (M, K), jnp.bfloat16)
-            w = jax.random.normal(kw, (K, N), jnp.float32) * 0.02
-            wb = w.astype(jnp.bfloat16)
-            t_dense = slope_time(lambda a: a @ wb, x)
-            rl_dense = matmul_roofline(M, K, N, weight_bits=16)
-            row = [f"{t_dense*1e6:.1f} us ({rl_dense.pct(t_dense):.0f}%RL)"]
-            for fmt in fmts:
-                qt = codecs.quantize_matmul_weight(w, fmt=fmt, block_size=block)
-                t = slope_time(lambda a, qt=qt: mm.matmul_quantized(a, qt), x)
-                bits = 4 if qt.bits == 4 else 8
-                rl = matmul_roofline(M, K, N, weight_bits=bits,
-                                     block_size=block)
-                row.append(
-                    f"{t*1e6:.1f} us ({t_dense/t:.2f}x, {rl.pct(t):.0f}%RL)")
-            line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"
-            lines.append(line)
-            print(line, flush=True)
-        lines.append("")
-
-    lines += [
-        "Notes:",
-        "- `(Nx)` = speedup vs dense bf16 on the same shape; >1 is faster.",
-        "- `%RL` = percent of the shape's roofline (max of HBM-bytes and",
-        "  MXU-flops floors for the format's weight bit-width; see",
-        "  quanta_tpu.profiling.matmul_roofline).",
-        "- nf4a/int4 dequantize arithmetically (Horner polynomial) and beat",
-        "  dense bf16 in memory-bound decode; table-lookup nf4 pays ~20 VPU",
-        "  ops per weight element for exact QLoRA-NF4 levels.",
-        "- At prefill shapes the MXU dominates and all formats converge",
-        "  toward dense throughput.",
-        "",
-    ]
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
-    print("wrote", args.out, flush=True)
-
-
-if __name__ == "__main__":
-    main()
+runpy.run_module("quanta_tpu.benchmarks.kernel_bench", run_name="__main__")

@@ -298,24 +298,18 @@ def cmd_finetune(args):
 
 def cmd_bench(args):
     _maybe_cpu(args)
-    if args.kind == "kernels":
-        sys.argv = ["kernel_bench.py"]
-        import pathlib
-        import runpy
+    import runpy
 
-        runpy.run_path(
-            str(pathlib.Path(__file__).resolve().parents[1]
-                / "benchmarks" / "kernel_bench.py"),
-            run_name="__main__",
-        )
-    else:
-        import pathlib
-        import runpy
-
-        runpy.run_path(
-            str(pathlib.Path(__file__).resolve().parents[1] / "bench.py"),
-            run_name="__main__",
-        )
+    # benchmark drivers ship inside the package (quanta_tpu/benchmarks/),
+    # so the installed console script works outside a repo checkout
+    mod = {
+        "kernels": "quanta_tpu.benchmarks.kernel_bench",
+        "accuracy": "quanta_tpu.benchmarks.accuracy_bench",
+        "serve": "quanta_tpu.benchmarks.serve_bench",
+        "decode": "quanta_tpu.benchmarks.decode_bench",
+    }.get(args.kind, "quanta_tpu.benchmarks.decode_bench")
+    sys.argv = [mod.rsplit(".", 1)[-1]]
+    runpy.run_module(mod, run_name="__main__")
 
 
 def cmd_convert(args):
@@ -391,8 +385,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.set_defaults(fn=cmd_finetune)
 
     b = sub.add_parser("bench", help="run benchmarks")
-    b.add_argument("kind", choices=["headline", "kernels"], nargs="?",
-                   default="kernels")
+    b.add_argument("kind",
+                   choices=["headline", "decode", "kernels", "accuracy",
+                            "serve"],
+                   nargs="?", default="kernels")
     b.add_argument("--cpu", action="store_true")
     b.set_defaults(fn=cmd_bench)
 

@@ -90,6 +90,7 @@ class Engine:
         top_k: int = 0,
         max_top_k: int = 0,
         max_admits_per_step: int = 1,
+        kv_quant: bool = False,
         rng_seed: int = 0,
         recorder=None,
     ):
@@ -113,7 +114,19 @@ class Engine:
         if n_pages is None:  # default: room for every slot at max_seq_len
             n_pages = 1 + n_slots * -(-cfg.max_seq_len // page_size)
         self.max_pages_per_slot = -(-cfg.max_seq_len // page_size)
-        self.pool = kvcache.init_pool(cfg, n_pages, page_size)
+        self.kv_quant = kv_quant
+        self.pool = kvcache.init_pool(cfg, n_pages, page_size,
+                                      kv_quant=kv_quant)
+        # decode-step page-table width buckets (doubling up to the max):
+        # the jitted decode step reads the pool through the table, so its
+        # HBM traffic scales with the WIDEST active sequence's bucket, not
+        # with max_seq_len — one compile per bucket, like prefill buckets.
+        self.decode_page_buckets = []
+        b = 1
+        while b < self.max_pages_per_slot:
+            self.decode_page_buckets.append(b)
+            b *= 2
+        self.decode_page_buckets.append(self.max_pages_per_slot)
         self.alloc = kvcache.PageAllocator(n_pages)
         self.slots = [_Slot() for _ in range(n_slots)]
         self.waiting: Deque[Request] = deque()
@@ -319,10 +332,18 @@ class Engine:
             positions[i] = self.slots[i].seq_len
             tokens[i] = self.slots[i].last_token
 
+        # bucket the page-table width by the widest active sequence: this
+        # step reads position seq_len's page at most, so the pool gather
+        # (the decode HBM floor) scales with actual lengths
+        need = max(self.slots[i].seq_len // self.page_size + 1
+                   for i in active_ids)
+        width = next(b for b in self.decode_page_buckets if b >= need)
+        self._last_decode_width = width
+
         logits, self.pool = runner.decode_step(
             self.params,
             self.pool,
-            jnp.asarray(self._page_table),
+            jnp.asarray(self._page_table[:, :width]),
             jnp.asarray(positions),
             jnp.asarray(tokens),
             self.cfg,

@@ -33,19 +33,60 @@ import numpy as np
 from quanta_tpu.models.llama import LlamaConfig
 
 
-def init_pool(cfg: LlamaConfig, n_pages: int, page_size: int) -> dict:
+def init_pool(
+    cfg: LlamaConfig, n_pages: int, page_size: int, kv_quant: bool = False
+) -> dict:
     """Allocate the page pool. Page 0 is reserved as the null page that
-    unused page-table entries point at (always masked out in attention)."""
+    unused page-table entries point at (always masked out in attention).
+
+    kv_quant=True stores K/V as int8 codes with one f32 absmax scale per
+    (token, kv-head) vector (SURVEY §5 "optionally-quantized KV cache"):
+    ~1.9x less KV HBM at head_dim 64 (8 + 32/64 bits vs 16 per element),
+    and the decode step's pool read — its HBM floor — shrinks the same
+    factor. Dequantization happens on the gathered (bucketed) slice only.
+    """
     shape = (cfg.n_layers, n_pages, page_size, cfg.n_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+    if not kv_quant:
+        return {"k": jnp.zeros(shape, cfg.dtype),
+                "v": jnp.zeros(shape, cfg.dtype)}
+    sshape = shape[:-1]
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
+
+
+def is_quantized(pool: dict) -> bool:
+    return "k_scale" in pool
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 per-vector quantization over the trailing head_dim:
+    x (..., hd) -> (codes int8 (..., hd), scale f32 (...))."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0 + 1e-12
+    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def dequantize_kv(codes: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def gather_layer(pool_l: jax.Array, page_table: jax.Array) -> jax.Array:
-    """(n_pages, page, nkv, hd) gathered by (n_slots, max_pages) ->
-    (n_slots, max_pages*page, nkv, hd): each slot's logical KV stream."""
-    g = pool_l[page_table]  # (S, maxp, page, nkv, hd)
-    s, mp, pg, nkv, hd = g.shape
-    return g.reshape(s, mp * pg, nkv, hd)
+    """(n_pages, page, ...) gathered by (n_slots, max_pages) ->
+    (n_slots, max_pages*page, ...): each slot's logical KV stream.
+    Works for both the KV arrays (..., nkv, hd) and their scales (..., nkv).
+
+    The caller controls the HBM cost here: reads scale with the page_table
+    WIDTH, so passing a column-sliced table (engine decode buckets) reads
+    only the pages active sequences can actually occupy, not
+    max_seq_len/page_size pages per slot."""
+    g = pool_l[page_table]  # (S, maxp, page, ...)
+    s, mp, pg = g.shape[:3]
+    return g.reshape(s, mp * pg, *g.shape[3:])
 
 
 def write_token(
@@ -77,16 +118,28 @@ def write_prefill(
 
     pages: (n_prompt_pages,) int32 physical page ids.
     k_seq/v_seq: (n_layers, S_pad, nkv, hd) with S_pad == len(pages)*page.
-    The pool is donated (in-place scatter in HBM).
+    The pool is donated (in-place scatter in HBM). For a quantized pool the
+    prompt KV is int8-quantized per (token, head) vector on the way in.
     """
     n_pages = pages.shape[0]
     L, s_pad, nkv, hd = k_seq.shape
     page = s_pad // n_pages
-    k_pg = k_seq.reshape(L, n_pages, page, nkv, hd)
-    v_pg = v_seq.reshape(L, n_pages, page, nkv, hd)
+
+    def paged(x):
+        return x.reshape(L, n_pages, page, *x.shape[2:])
+
+    if not is_quantized(pool):
+        return {
+            "k": pool["k"].at[:, pages].set(paged(k_seq.astype(pool["k"].dtype))),
+            "v": pool["v"].at[:, pages].set(paged(v_seq.astype(pool["v"].dtype))),
+        }
+    k_codes, k_scale = quantize_kv(k_seq)
+    v_codes, v_scale = quantize_kv(v_seq)
     return {
-        "k": pool["k"].at[:, pages].set(k_pg),
-        "v": pool["v"].at[:, pages].set(v_pg),
+        "k": pool["k"].at[:, pages].set(paged(k_codes)),
+        "v": pool["v"].at[:, pages].set(paged(v_codes)),
+        "k_scale": pool["k_scale"].at[:, pages].set(paged(k_scale)),
+        "v_scale": pool["v_scale"].at[:, pages].set(paged(v_scale)),
     }
 
 

@@ -90,7 +90,8 @@ def decode_step(
     kv_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
     kv_len_mask = (kv_iota <= pos_safe[:, None]) & active[:, None]
 
-    new_pool_k, new_pool_v = [], []
+    quantized = kvcache.is_quantized(pool)
+    new_pool = {key: [] for key in pool}
     for i, lp in enumerate(params["layers"]):
         x = llama.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         q = lin(x, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
@@ -99,17 +100,34 @@ def decode_step(
         q = llama._rope(q, q_positions, cfg.rope_theta)
         k = llama._rope(k, q_positions, cfg.rope_theta)
 
+        k_tok, v_tok = k[:, 0], v[:, 0]
+        if quantized:
+            k_tok, k_sc = kvcache.quantize_kv(k_tok)
+            v_tok, v_sc = kvcache.quantize_kv(v_tok)
+            for key, val in (("k_scale", k_sc), ("v_scale", v_sc)):
+                new_pool[key].append(kvcache.write_token(
+                    pool[key][i], table_safe, pos_safe, val, page_size
+                ))
         pk = kvcache.write_token(
-            pool["k"][i], table_safe, pos_safe, k[:, 0], page_size
+            pool["k"][i], table_safe, pos_safe, k_tok, page_size
         )
         pv = kvcache.write_token(
-            pool["v"][i], table_safe, pos_safe, v[:, 0], page_size
+            pool["v"][i], table_safe, pos_safe, v_tok, page_size
         )
-        new_pool_k.append(pk)
-        new_pool_v.append(pv)
+        new_pool["k"].append(pk)
+        new_pool["v"].append(pv)
 
         k_all = kvcache.gather_layer(pk, table_safe)
         v_all = kvcache.gather_layer(pv, table_safe)
+        if quantized:
+            k_all = kvcache.dequantize_kv(
+                k_all, kvcache.gather_layer(new_pool["k_scale"][i], table_safe),
+                cfg.dtype,
+            )
+            v_all = kvcache.dequantize_kv(
+                v_all, kvcache.gather_layer(new_pool["v_scale"][i], table_safe),
+                cfg.dtype,
+            )
         attn = llama._attention(q, k_all, v_all, q_positions, kv_len_mask, cfg)
 
         h = h + lin(attn.reshape(b, 1, -1), lp["wo"])
@@ -126,5 +144,5 @@ def decode_step(
         logits = lin(h, params["tok_emb"].T)
     else:
         logits = lin(h, params["lm_head"])
-    pool = {"k": jnp.stack(new_pool_k), "v": jnp.stack(new_pool_v)}
+    pool = {key: jnp.stack(vals) for key, vals in new_pool.items()}
     return logits[:, 0].astype(jnp.float32), pool

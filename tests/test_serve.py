@@ -239,3 +239,81 @@ def test_engine_per_request_top_k_every_step(tiny):
         max_new_tokens=max_new, use_kernel=False,
     )[0, len(prompt):]
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_kv_quantize_round_trip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 64), jnp.float32) * 3
+    codes, scale = kvcache.quantize_kv(x)
+    assert codes.dtype == jnp.int8 and scale.shape == (4, 8)
+    back = kvcache.dequantize_kv(codes, scale, jnp.float32)
+    err = np.abs(np.asarray(back - x))
+    # int8 absmax per vector: max error ~ absmax/254
+    assert err.max() <= float(np.abs(np.asarray(x)).max()) / 200.0
+
+
+def test_quantized_pool_decode_matches_dense(tiny):
+    """decode_step through an int8 KV pool tracks the dense-pool logits."""
+    from quanta_tpu.serve import runner
+
+    cfg, params = tiny
+    page, n_pages, slots = 8, 10, 2
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(1, cfg.vocab_size, size=(1, 8)),
+        jnp.int32,
+    )
+    last, k_seq, v_seq = runner.prefill(
+        params, prompt, jnp.int32(8), cfg, use_kernel=False
+    )
+    pools = {}
+    for quant in (False, True):
+        pool = kvcache.init_pool(cfg, n_pages, page, kv_quant=quant)
+        pools[quant] = kvcache.write_prefill(
+            pool, jnp.asarray([3], jnp.int32), k_seq, v_seq
+        )
+    table = np.zeros((slots, 3), np.int32)
+    table[0, 0], table[0, 1] = 3, 4
+    positions = jnp.asarray([8, -1], jnp.int32)
+    tokens = jnp.asarray([5, 0], jnp.int32)
+    out = {}
+    for quant in (False, True):
+        logits, _ = runner.decode_step(
+            params, pools[quant], jnp.asarray(table), positions, tokens,
+            cfg, page, use_kernel=False,
+        )
+        out[quant] = np.asarray(logits[0])
+    corr = np.corrcoef(out[False], out[True])[0, 1]
+    assert corr > 0.999, corr
+    np.testing.assert_allclose(out[True], out[False], atol=0.35)
+
+
+def test_engine_kv_quant_end_to_end(tiny):
+    cfg, params = tiny
+    prompts = _prompts(cfg, [3, 11])
+    eng = Engine(params, cfg, n_slots=2, page_size=8, kv_quant=True,
+                 prefill_buckets=(8, 16), use_kernel=False)
+    done = eng.run([Request(uid=i, prompt=p, max_new_tokens=6)
+                    for i, p in enumerate(prompts)])
+    assert len(done) == 2
+    assert all(0 <= t < cfg.vocab_size for r in done for t in r.output)
+    assert kvcache.is_quantized(eng.pool)
+
+
+def test_engine_decode_page_bucketing(tiny):
+    """Short sequences decode through a narrow page table (HBM read
+    proportional to actual length), and widen only as they grow."""
+    cfg, params = tiny  # max_seq_len 96 / page 8 -> max 12 pages
+    eng = Engine(params, cfg, n_slots=2, page_size=8,
+                 prefill_buckets=(8,), use_kernel=False)
+    assert eng.decode_page_buckets == [1, 2, 4, 8, 12]
+    reqs = [Request(uid=0, prompt=np.asarray([1, 2, 3], np.int32),
+                    max_new_tokens=30)]
+    eng.submit(reqs[0])
+    widths = []
+    while eng.waiting or any(s.busy for s in eng.slots):
+        eng.step()
+        widths.append(eng._last_decode_width)
+    # 3-token prompt grows to 33: starts at width 1, ends at width 4+,
+    # never needs the full 12
+    assert widths[0] == 1
+    assert max(widths) <= 8
+    assert widths == sorted(widths)
