@@ -37,8 +37,9 @@ def _adam_tile(
     bc2 = s_ref[0, 2]
 
     g = g_ref[:].astype(jnp.float32)
-    m = mc_ref[:].astype(jnp.float32) * ms_ref[:]
-    vcomp = vc_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    # Mosaic has no direct {u,i}8 <-> f32 cast; widen through int32.
+    m = mc_ref[:].astype(jnp.int32).astype(jnp.float32) * ms_ref[:]
+    vcomp = vc_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
     v = (vcomp * vcomp) * (vcomp * vcomp) * vs_ref[:]
 
     m = b1 * m + (1.0 - b1) * g
@@ -49,11 +50,19 @@ def _adam_tile(
     )
 
     ms = jnp.maximum(jnp.max(jnp.abs(m), axis=1, keepdims=True) / 127.0, 1e-12)
-    mco_ref[:] = jnp.clip(jnp.round(m / ms), -127, 127).astype(jnp.int8)
+    mco_ref[:] = (
+        jnp.clip(jnp.round(m / ms), -127, 127)
+        .astype(jnp.int32)
+        .astype(jnp.int8)
+    )
     mso_ref[:] = ms
     vs = jnp.maximum(jnp.max(v, axis=1, keepdims=True), 1e-12)
     comp = jnp.sqrt(jnp.sqrt(jnp.clip(v / vs, 0.0, 1.0)))
-    vco_ref[:] = jnp.clip(jnp.round(comp * 255.0), 0, 255).astype(jnp.uint8)
+    vco_ref[:] = (
+        jnp.clip(jnp.round(comp * 255.0), 0, 255)
+        .astype(jnp.int32)
+        .astype(jnp.uint8)
+    )
     vso_ref[:] = vs
 
 

@@ -45,12 +45,13 @@ def _quant_kernel(x_ref, codes_ref, scale_ref, *, mids, qmax):
     if mids is None:  # symmetric integer grid
         scale = jnp.where(absmax <= _EPS, 1.0, absmax / qmax)
         q = jnp.clip(jnp.round(x / scale), -qmax, qmax)
-        codes_ref[:] = q.astype(codes_ref.dtype)
+        # Mosaic has no direct f32 -> {u,i}8 cast; widen through int32.
+        codes_ref[:] = q.astype(jnp.int32).astype(codes_ref.dtype)
         scale_ref[:] = scale
     else:  # codebook
         scale = jnp.where(absmax <= _EPS, 1.0, absmax)
         idx = _code_search(x / scale, mids)
-        codes_ref[:] = idx.astype(codes_ref.dtype)
+        codes_ref[:] = idx.astype(jnp.int32).astype(codes_ref.dtype)
         scale_ref[:] = scale
 
 

@@ -201,18 +201,20 @@ def dequantize_tp(sq: ShardedQuant) -> jax.Array:
 # ------------------------------------------------------------- tp forward
 
 
-def _local_linear(x, sq: ShardedQuant, use_kernel: bool):
+def _local_linear(x, sq: ShardedQuant, use_kernel: bool,
+                  interpret: bool = False):
     """Local-shard matmul inside shard_map (codes arrive with tp dim 1)."""
     qt = sq.local_qt(sq.codes[0], sq.scale[0])
     if use_kernel:
         from quanta_tpu.ops.matmul import matmul_quantized
 
-        return matmul_quantized(x, qt)
+        return matmul_quantized(x, qt, interpret=interpret)
     w = codecs.dequantize_matmul_weight(qt).astype(x.dtype)
     return x @ w
 
 
-def _row_parallel(x, sq: ShardedQuant, use_kernel: bool, n_chunks: int = 2):
+def _row_parallel(x, sq: ShardedQuant, use_kernel: bool, n_chunks: int = 2,
+                  interpret: bool = False):
     """Row-parallel linear: local partial GEMM + chunked psum.
 
     Chunking the output axis issues one psum per chunk; the chunks'
@@ -242,7 +244,7 @@ def _row_parallel(x, sq: ShardedQuant, use_kernel: bool, n_chunks: int = 2):
         if use_kernel:
             from quanta_tpu.ops.matmul import matmul_quantized
 
-            y = matmul_quantized(x, qt_c)
+            y = matmul_quantized(x, qt_c, interpret=interpret)
         else:
             y = x @ codecs.dequantize_matmul_weight(qt_c).astype(x.dtype)
         outs.append(jax.lax.psum(y, axis_name="model"))
@@ -309,16 +311,18 @@ def tp_llama_forward(
     mesh: Mesh,
     *,
     use_kernel: bool = False,
+    interpret: bool = False,
 ):
     """Causal scoring forward under manual shard_map TP.
 
     tokens: (B, S) int32, batch sharded on 'data'. Returns full logits
-    (B, S, V) gathered over the vocab-split lm_head. Serving/decode with
-    KV caches stays on the GSPMD path (parallel.sharding); this is the
-    explicitly-scheduled scoring/prefill pipeline.
+    (B, S, V) gathered over the vocab-split lm_head. For KV-cache decode
+    under the same manual schedule see :func:`tp_greedy_decode`.
     """
     tp = mesh.shape["model"]
     nh_loc, nkv_loc = cfg.n_heads // tp, cfg.n_kv_heads // tp
+    lin = partial(_local_linear, use_kernel=use_kernel, interpret=interpret)
+    rowp = partial(_row_parallel, use_kernel=use_kernel, interpret=interpret)
 
     def fwd(p, toks):
         b, s = toks.shape
@@ -328,29 +332,27 @@ def tp_llama_forward(
 
         for lp in p["layers"]:
             x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)
-            q = _local_linear(x, lp["wq"], use_kernel).reshape(
+            q = lin(x, lp["wq"]).reshape(
                 b, s, nh_loc, cfg.head_dim
             )
-            k = _local_linear(x, lp["wk"], use_kernel).reshape(
+            k = lin(x, lp["wk"]).reshape(
                 b, s, nkv_loc, cfg.head_dim
             )
-            v = _local_linear(x, lp["wv"], use_kernel).reshape(
+            v = lin(x, lp["wv"]).reshape(
                 b, s, nkv_loc, cfg.head_dim
             )
             q = _rope(q, q_pos, cfg.rope_theta)
             k = _rope(k, q_pos, cfg.rope_theta)
             attn = _attention(q, k, v, q_pos, mask, cfg)
-            h = h + _row_parallel(
-                attn.reshape(b, s, -1), lp["wo"], use_kernel
-            )
+            h = h + rowp(attn.reshape(b, s, -1), lp["wo"])
             x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-            gate = _local_linear(x, lp["w_gate"], use_kernel)
-            up = _local_linear(x, lp["w_up"], use_kernel)
+            gate = lin(x, lp["w_gate"])
+            up = lin(x, lp["w_up"])
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-            h = h + _row_parallel(act, lp["w_down"], use_kernel)
+            h = h + rowp(act, lp["w_down"])
 
         h = rms_norm(h, p["norm_f"], cfg.norm_eps)
-        logits_loc = _local_linear(h, p["lm_head"], use_kernel)
+        logits_loc = lin(h, p["lm_head"])
         logits = jax.lax.all_gather(
             logits_loc.astype(jnp.float32), "model", axis=2, tiled=True
         )
@@ -365,3 +367,172 @@ def tp_llama_forward(
         check_vma=False,
     )
     return fn(tp_params, tokens)
+
+
+# ------------------------------------------------------- tp cached decode
+
+
+def tp_init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None):
+    """Global-shape KV cache for manual-TP decode.
+
+    Shapes match models.llama.init_cache; under shard_map the KV-head axis
+    (3) is split on 'model' so each device holds only its local heads —
+    the head-sharded KV cache of SURVEY §2.5 realized on the manual path.
+    """
+    max_len = max_len or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, cfg.dtype),
+        "v": jnp.zeros(shape, cfg.dtype),
+        "pos": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def _cache_specs_tp():
+    return {
+        "k": P(None, "data", None, "model", None),
+        "v": P(None, "data", None, "model", None),
+        "pos": P("data"),
+    }
+
+
+def _fwd_cached_local(p, toks, cache, cfg: LlamaConfig, tp: int,
+                      use_kernel: bool, interpret: bool = False):
+    """Per-device cached forward body (runs inside shard_map).
+
+    Mirrors models.llama.forward's cache path with local head counts:
+    wq/wk/wv are column-split so q/k/v and the KV cache slices are local;
+    attention never crosses devices; wo/w_down issue chunked psums.
+    """
+    b, s = toks.shape
+    nh_loc, nkv_loc = cfg.n_heads // tp, cfg.n_kv_heads // tp
+
+    h = jnp.take(p["tok_emb"], toks, axis=0).astype(cfg.dtype)
+    start = cache["pos"]
+    q_pos = start[:, None] + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    t = cache["k"].shape[2]
+    kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    kv_len_mask = kv_positions < (start[:, None] + s)
+    k_cache, v_cache = cache["k"], cache["v"]
+    lin = partial(_local_linear, use_kernel=use_kernel, interpret=interpret)
+    rowp = partial(_row_parallel, use_kernel=use_kernel, interpret=interpret)
+
+    loc_cfg = dataclasses.replace(cfg, n_heads=nh_loc, n_kv_heads=nkv_loc)
+
+    for i, lp in enumerate(p["layers"]):
+        x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)
+        q = lin(x, lp["wq"]).reshape(
+            b, s, nh_loc, cfg.head_dim
+        )
+        k = lin(x, lp["wk"]).reshape(
+            b, s, nkv_loc, cfg.head_dim
+        )
+        v = lin(x, lp["wv"]).reshape(
+            b, s, nkv_loc, cfg.head_dim
+        )
+        q = _rope(q, q_pos, cfg.rope_theta)
+        k = _rope(k, q_pos, cfg.rope_theta)
+
+        def upd(buf, new):
+            def one(row_buf, row_new, pos):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    row_buf, row_new, pos, axis=0
+                )
+
+            return jax.vmap(one)(buf, new, start)
+
+        k_all = upd(k_cache[i], k)
+        v_all = upd(v_cache[i], v)
+        k_cache = k_cache.at[i].set(k_all)
+        v_cache = v_cache.at[i].set(v_all)
+        attn = _attention(q, k_all, v_all, q_pos, kv_len_mask, loc_cfg)
+
+        h = h + rowp(attn.reshape(b, s, -1), lp["wo"])
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        gate = lin(x, lp["w_gate"])
+        up = lin(x, lp["w_up"])
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        h = h + rowp(act, lp["w_down"])
+
+    h = rms_norm(h, p["norm_f"], cfg.norm_eps)
+    logits_loc = lin(h, p["lm_head"])
+    logits = jax.lax.all_gather(
+        logits_loc.astype(jnp.float32), "model", axis=2, tiled=True
+    )
+    new_cache = {"k": k_cache, "v": v_cache, "pos": start + s}
+    return logits, new_cache
+
+
+def tp_llama_forward_cached(
+    tp_params: dict,
+    tokens: jax.Array,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    cache: dict,
+    *,
+    use_kernel: bool = False,
+    interpret: bool = False,
+):
+    """One cached forward (prefill when S>1, decode when S==1) under
+    manual shard_map TP. Returns (logits (B, S, V), new_cache)."""
+    tp = mesh.shape["model"]
+    fn = jax.shard_map(
+        partial(_fwd_cached_local, cfg=cfg, tp=tp, use_kernel=use_kernel,
+                interpret=interpret),
+        mesh=mesh,
+        in_specs=(_specs_for(tp_params), P("data", None), _cache_specs_tp()),
+        out_specs=(P("data", None, None), _cache_specs_tp()),
+        check_vma=False,
+    )
+    return fn(tp_params, tokens, cache)
+
+
+def tp_greedy_decode(
+    tp_params: dict,
+    prompt: jax.Array,
+    cfg: LlamaConfig,
+    mesh: Mesh,
+    max_new_tokens: int = 32,
+    *,
+    use_kernel: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Greedy generation entirely under manual shard_map TP: one shard_map
+    spans prefill + the lax.scan decode loop, so the per-step collectives
+    are exactly one psum per row-parallel chunk plus the lm_head gather —
+    no re-entry overhead per token. Mirrors models.llama.greedy_decode.
+    """
+    b, s = prompt.shape
+    tp = mesh.shape["model"]
+    cache = tp_init_cache(cfg, b, max_len=s + max_new_tokens)
+
+    def run(p, prompt_toks, cache0):
+        logits, cache1 = _fwd_cached_local(
+            p, prompt_toks, cache0, cfg=cfg, tp=tp, use_kernel=use_kernel,
+            interpret=interpret,
+        )
+        next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        def step(carry, _):
+            c, tok = carry
+            lg, c = _fwd_cached_local(
+                p, tok[:, None], c, cfg=cfg, tp=tp, use_kernel=use_kernel,
+                interpret=interpret,
+            )
+            nxt = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)
+            return (c, nxt), tok
+
+        _, toks = jax.lax.scan(
+            step, (cache1, next_tok), None, length=max_new_tokens
+        )
+        return jnp.moveaxis(toks, 0, 1)
+
+    fn = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(_specs_for(tp_params), P("data", None), _cache_specs_tp()),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    out = fn(tp_params, prompt, cache)
+    return jnp.concatenate([prompt, out], axis=1)
