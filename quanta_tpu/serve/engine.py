@@ -93,6 +93,7 @@ class Engine:
         kv_quant: bool = False,
         rng_seed: int = 0,
         recorder=None,
+        pipeline: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -135,6 +136,13 @@ class Engine:
             (n_slots, self.max_pages_per_slot), np.int32
         )
         self._rng = jax.random.PRNGKey(rng_seed)
+        # pipelined ("async") stepping: each step() dispatches the fused
+        # decode+sample program WITHOUT reading it back, then processes the
+        # PREVIOUS step's tokens — so host bookkeeping, scheduling and the
+        # device->host transfer overlap the chip's current step instead of
+        # serializing with it. Sampled tokens chain step-to-step on device.
+        self.pipeline = pipeline
+        self._pending = None  # {"ids": [(slot_id, uid)], "tokens": device}
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
@@ -307,9 +315,124 @@ class Engine:
 
     # ----------------------------------------------------------- step loop
 
+    def _dispatch(self) -> int:
+        """Dispatch ONE fused decode+sample step for every dispatchable
+        slot, without reading the result back. Returns slots dispatched.
+
+        A slot is dispatchable if its output budget cannot already be
+        exhausted by the still-unprocessed pending token (so the optimistic
+        extra step never writes KV past max_seq_len). Growth for the
+        position this step writes (seq_len) is ensured up front, with
+        pool-pressure preemption as usual; seq_len then advances
+        optimistically — processing only appends tokens and retires."""
+        cand = []
+        for i, s in enumerate(self.slots):
+            if not s.busy:
+                continue
+            in_flight = 1 if (
+                self._pending is not None
+                and any(sid == i and uid == s.request.uid
+                        for sid, uid in self._pending["ids"])
+            ) else 0
+            if len(s.request.output) + in_flight >= s.request.max_new_tokens:
+                continue  # retires when the pending token is processed
+            cand.append(i)
+        # senior-first growth: under pool pressure older requests preempt
+        # newer ones, never the other way around
+        for i in sorted(cand, key=lambda i: self.slots[i].admit_seq):
+            if self.slots[i].busy:
+                self._ensure_growth(i)
+        cand = [i for i in cand if self.slots[i].busy]  # preemption culls
+        if not cand:
+            return 0
+
+        positions = np.full((self.n_slots,), -1, np.int32)
+        host_tokens = np.zeros((self.n_slots,), np.int32)
+        temps = np.zeros((self.n_slots,), np.float32)
+        top_ks = np.zeros((self.n_slots,), np.int32)
+        chain = np.zeros((self.n_slots,), bool)
+        pending_uid = (
+            dict(self._pending["ids"]) if self._pending is not None else {}
+        )
+        for i in cand:
+            s = self.slots[i]
+            positions[i] = s.seq_len
+            host_tokens[i] = s.last_token  # valid unless chained
+            temps[i] = s.request.sampling.temperature
+            top_ks[i] = s.request.sampling.top_k
+            # a slot with an unprocessed step chains its input token from
+            # that step's device output (the host hasn't seen it yet); the
+            # uid check guards against the slot having been preempted and
+            # reseated since that dispatch
+            chain[i] = pending_uid.get(i) == s.request.uid
+
+        # bucket the page-table width by the widest active sequence: this
+        # step reads position seq_len's page at most, so the pool gather
+        # (the decode HBM floor) scales with actual lengths
+        need = max(self.slots[i].seq_len // self.page_size + 1 for i in cand)
+        width = next(b for b in self.decode_page_buckets if b >= need)
+        self._last_decode_width = width
+
+        tokens_in = jnp.asarray(host_tokens)
+        if self._pending is not None and chain.any():
+            tokens_in = jnp.where(
+                jnp.asarray(chain), self._pending["tokens"], tokens_in
+            )
+        self._rng, key = jax.random.split(self._rng)
+        next_tokens, self.pool = runner.decode_step_sampled(
+            self.params,
+            self.pool,
+            jnp.asarray(self._page_table[:, :width]),
+            jnp.asarray(positions),
+            tokens_in,
+            key,
+            jnp.asarray(temps),
+            jnp.asarray(top_ks),
+            self.cfg,
+            self.page_size,
+            use_kernel=self.use_kernel,
+            top_k=self.top_k,
+            max_top_k=self.max_top_k,
+        )
+        for i in cand:
+            self.slots[i].seq_len += 1
+        self._steps += 1
+        if self.recorder is not None:
+            self.recorder.count("decode_dispatches", 1)
+        self._pending_new = {
+            "ids": [(i, self.slots[i].request.uid) for i in cand],
+            "tokens": next_tokens,
+        }
+        return len(cand)
+
+    def _process_pending(self) -> int:
+        """Read back the oldest in-flight step's tokens and do the host
+        bookkeeping (append, EOS/max retire). Returns tokens kept."""
+        if self._pending is None:
+            return 0
+        t0 = time.perf_counter()
+        tokens = np.asarray(self._pending["tokens"])
+        kept = 0
+        for slot_id, uid in self._pending["ids"]:
+            slot = self.slots[slot_id]
+            if slot.request is None or slot.request.uid != uid:
+                continue  # preempted/retired since dispatch: token dropped
+            tok = int(tokens[slot_id])
+            slot.request.output.append(tok)
+            slot.last_token = tok
+            kept += 1
+            self._maybe_finish(slot_id, tok)
+        self._pending = None
+        self._decode_tokens += kept
+        if self.recorder is not None:
+            self.recorder.count("decode_tokens", kept)
+            self.recorder.observe("decode_step", time.perf_counter() - t0)
+        return kept
+
     def step(self) -> int:
-        """Admit up to ``max_admits_per_step`` requests, then run one decode
-        step. Returns the number of active slots that produced a token.
+        """Admit up to ``max_admits_per_step`` requests, dispatch one
+        decode step, then process the previous step's tokens. Returns the
+        number of tokens processed (0 on pipeline-fill steps).
 
         The admission budget bounds how long running requests can stall on
         newcomers' prefills in any single step (one prefill's latency,
@@ -321,82 +444,33 @@ class Engine:
             budget = self.n_slots
         while budget > 0 and self._try_admit():
             budget -= 1
-        active_ids = [i for i, s in enumerate(self.slots) if s.busy]
-        if not active_ids:
-            return 0
-        t_step0 = time.perf_counter()
 
-        positions = np.full((self.n_slots,), -1, np.int32)
-        tokens = np.zeros((self.n_slots,), np.int32)
-        for i in active_ids:
-            positions[i] = self.slots[i].seq_len
-            tokens[i] = self.slots[i].last_token
+        self._pending_new = None
+        self._dispatch()
+        if not self.pipeline and self._pending_new is not None:
+            # synchronous mode: process the step we just dispatched
+            self._pending = self._pending_new
+            self._pending_new = None
+        produced = self._process_pending()
+        if self._pending_new is not None:
+            self._pending = self._pending_new
+            self._pending_new = None
+        return produced
 
-        # bucket the page-table width by the widest active sequence: this
-        # step reads position seq_len's page at most, so the pool gather
-        # (the decode HBM floor) scales with actual lengths
-        need = max(self.slots[i].seq_len // self.page_size + 1
-                   for i in active_ids)
-        width = next(b for b in self.decode_page_buckets if b >= need)
-        self._last_decode_width = width
-
-        logits, self.pool = runner.decode_step(
-            self.params,
-            self.pool,
-            jnp.asarray(self._page_table[:, :width]),
-            jnp.asarray(positions),
-            jnp.asarray(tokens),
-            self.cfg,
-            self.page_size,
-            use_kernel=self.use_kernel,
+    @property
+    def _draining(self) -> bool:
+        return bool(
+            self.waiting
+            or self._pending is not None
+            or any(s.busy for s in self.slots)
         )
-        self._rng, key = jax.random.split(self._rng)
-        temps = np.zeros((self.n_slots,), np.float32)
-        top_ks = np.zeros((self.n_slots,), np.int32)
-        for i in active_ids:
-            temps[i] = self.slots[i].request.sampling.temperature
-            top_ks[i] = self.slots[i].request.sampling.top_k
-        if self.max_top_k > 0:
-            next_tokens = np.asarray(
-                _sample_batch(
-                    logits, key, jnp.asarray(temps),
-                    top_ks=jnp.asarray(top_ks), max_top_k=self.max_top_k,
-                )
-            )
-        else:
-            next_tokens = np.asarray(
-                _sample_batch(logits, key, jnp.asarray(temps), top_k=self.top_k)
-            )
-
-        self._steps += 1
-        self._decode_tokens += len(active_ids)
-        if self.recorder is not None:
-            self.recorder.count("decode_tokens", len(active_ids))
-            self.recorder.observe("decode_step", time.perf_counter() - t_step0)
-        grow_ids = []
-        for i in active_ids:
-            slot = self.slots[i]
-            tok = int(next_tokens[i])
-            slot.request.output.append(tok)
-            slot.seq_len += 1
-            slot.last_token = tok
-            if not self._maybe_finish(i, tok):
-                grow_ids.append(i)
-        # growth happens after every token is recorded (a preempted slot
-        # keeps its token: _preempt folds output into the requeued prompt);
-        # oldest-first so that, under pool pressure, senior requests preempt
-        # junior ones, never the other way around
-        for i in sorted(grow_ids, key=lambda i: self.slots[i].admit_seq):
-            if self.slots[i].busy:  # may have been preempted by a senior
-                self._ensure_growth(i)
-        return len(active_ids)
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
         """Serve a batch of requests to completion; returns them finished."""
         for r in requests:
             self.submit(r)
         t0 = time.perf_counter()
-        while self.waiting or any(s.busy for s in self.slots):
+        while self._draining:
             self.step()
         self._t_serve += time.perf_counter() - t0
         return self.finished

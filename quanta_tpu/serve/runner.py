@@ -146,3 +146,45 @@ def decode_step(
         logits = lin(h, params["lm_head"])
     pool = {key: jnp.stack(vals) for key, vals in new_pool.items()}
     return logits[:, 0].astype(jnp.float32), pool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "use_kernel", "top_k", "max_top_k"),
+    donate_argnums=(1,),
+)
+def decode_step_sampled(
+    params,
+    pool: dict,
+    page_table: jax.Array,
+    positions: jax.Array,
+    tokens: jax.Array,
+    key: jax.Array,
+    temps: jax.Array,
+    top_ks: jax.Array,
+    cfg,
+    page_size: int,
+    use_kernel=None,
+    top_k: int = 0,
+    max_top_k: int = 0,
+):
+    """decode_step + sampling fused into ONE device program.
+
+    Returns (next_tokens (n_slots,) int32 — left on device by the caller
+    so the next step can chain on it without a host round trip — and the
+    updated pool). Halves the per-step dispatch count and removes the
+    blocking logits readback from the engine's critical path (the engine
+    reads the *previous* step's tokens while this one runs).
+    """
+    from quanta_tpu.serve.sampling import _sample_batch
+
+    logits, pool = decode_step(
+        params, pool, page_table, positions, tokens, cfg, page_size,
+        use_kernel=use_kernel,
+    )
+    if max_top_k > 0:
+        nxt = _sample_batch(logits, key, temps, top_ks=top_ks,
+                            max_top_k=max_top_k)
+    else:
+        nxt = _sample_batch(logits, key, temps, top_k=top_k)
+    return nxt, pool

@@ -317,3 +317,26 @@ def test_engine_decode_page_bucketing(tiny):
     assert widths[0] == 1
     assert max(widths) <= 8
     assert widths == sorted(widths)
+
+
+def test_engine_pipeline_equals_sync(tiny):
+    """The pipelined (async-dispatch) engine produces EXACTLY the same
+    outputs as synchronous stepping: deferring the host readback by one
+    step must not change any token, completion order, or accounting."""
+    cfg, params = tiny
+    prompts = _prompts(cfg, [3, 9, 14, 5], seed=7)
+
+    def serve(pipeline):
+        eng = Engine(params, cfg, n_slots=2, page_size=8,
+                     prefill_buckets=(16,), use_kernel=False,
+                     pipeline=pipeline)
+        reqs = [Request(uid=i, prompt=p, max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+        done = eng.run(reqs)
+        return {r.uid: list(r.output) for r in done}, eng.metrics()
+
+    out_p, m_p = serve(True)
+    out_s, m_s = serve(False)
+    assert out_p == out_s
+    assert m_p["output_tokens"] == m_s["output_tokens"]
+    assert m_p["requests_finished"] == m_s["requests_finished"] == 4
