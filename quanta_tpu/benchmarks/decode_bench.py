@@ -142,7 +142,35 @@ def main():
             f"prefill {r['prefill_tok_s_chip']:9.1f} tok/s/chip | "
             f"ttft {r['ttft_ms']:6.2f} ms (batch={batch}, len={prefill_len})")
 
+    # serving-engine measurement (north-star config 3 protocol): the
+    # continuous-batching Engine under a Poisson trace, end to end —
+    # not just the raw scan loop. Engine TTFT/throughput land in extra.
+    try:
+        from quanta_tpu.benchmarks.serve_bench import run_one
+        from quanta_tpu import nn as qnn
+
+        on_tpu = jax.default_backend() == "tpu"
+        serve = {}
+        for fmt in ("nf4a", "llm_int8"):
+            sparams = qnn.quantize_params(dense, mode=fmt, block_size=64)
+            jax.block_until_ready(sparams)
+            m = run_one(
+                sparams, cfg, fmt_name=fmt, n_requests=16, rate=24.0,
+                max_new=48, n_slots=8,
+                use_kernel=on_tpu if fmt != "llm_int8" else None,
+            )
+            serve[fmt] = {
+                "tok_s_chip": m["throughput_tok_s"],
+                "ttft_p50_ms": m.get("ttft_p50_ms"),
+                "ttft_p99_ms": m.get("ttft_p99_ms"),
+            }
+        results["serve"] = serve
+    except Exception as e:  # serving bench must not sink the headline
+        log(f"serve bench failed: {type(e).__name__}: {e}")
+
+    # metric name pinned since r2; both quantized/bf16 ratios at top level
     vs = results["nf4a"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
+    vs_nf4 = results["nf4"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
     print(
         json.dumps(
             {
@@ -150,6 +178,8 @@ def main():
                 "value": results["nf4a"]["decode_tok_s_chip"],
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs, 3),
+                "nf4a_vs_bf16": round(vs, 3),
+                "nf4_vs_bf16": round(vs_nf4, 3),
                 "extra": results,
             }
         )

@@ -24,28 +24,52 @@ from quanta_tpu.ops import matmul as mm
 from quanta_tpu.profiling import matmul_roofline
 
 
-def slope_time(op, x, L0=16, L1=272, reps=4):
-    t = {}
-    for L in (L0, L1):
+def _make_loop(op, x, L):
+    @jax.jit
+    def loop(seed, L=L):
+        def body(acc, _):
+            xi = x + (acc * 1e-30).astype(x.dtype)
+            out = op(xi)
+            return out.astype(jnp.float32).sum() * 1e-30, None
 
-        @jax.jit
-        def loop(seed, L=L):
-            def body(acc, _):
-                xi = x + (acc * 1e-30).astype(x.dtype)
-                out = op(xi)
-                return out.astype(jnp.float32).sum() * 1e-30, None
+        acc, _ = jax.lax.scan(body, seed, None, length=L)
+        return acc
 
-            acc, _ = jax.lax.scan(body, seed, None, length=L)
-            return acc
+    return loop
 
-        np.asarray(loop(jnp.float32(0)))  # compile + warm
-        best = 1e9
-        for r in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(loop(jnp.float32(r + 1)))
-            best = min(best, time.perf_counter() - t0)
-        t[L] = best
-    return max((t[L1] - t[L0]) / (L1 - L0), 1e-9)
+
+def _timed(loop, reps=3):
+    np.asarray(loop(jnp.float32(0)))  # compile + warm
+    best = 1e9
+    for r in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(jnp.float32(r + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope_time(op, x, floor_s: float = 0.0):
+    """Per-op time as the slope between two in-jit loop lengths.
+
+    The loop lengths ADAPT to the op: host/tunnel call jitter is on the
+    order of milliseconds, so the long loop must accumulate >= ~25 ms of
+    device work for the slope to be signal rather than noise (round-2's
+    committed "0.0 us (24415x)" row was exactly this failure: L1=272 of a
+    ~10 us op is 2.7 ms of work, below the jitter floor). ``floor_s`` is
+    a physical lower bound (e.g. the HBM roofline); a slope below half of
+    it is remeasured with a longer loop and the best-supported value wins.
+    """
+    est = max(_timed(_make_loop(op, x, 32), reps=2) / 32, 1e-7)
+    L1 = int(min(max(272, 0.025 / est), 16384))
+    for attempt in range(3):
+        L0 = max(16, L1 // 8)
+        t0 = _timed(_make_loop(op, x, L0))
+        t1 = _timed(_make_loop(op, x, L1))
+        slope = (t1 - t0) / (L1 - L0)
+        if slope >= max(floor_s * 0.5, 1e-8):
+            return slope
+        L1 = min(L1 * 4, 65536)  # implausibly fast: not enough signal
+    return max(slope, floor_s * 0.5, 1e-9)
 
 
 def main():
@@ -85,15 +109,17 @@ def main():
             x = jax.random.normal(kx, (M, K), jnp.bfloat16)
             w = jax.random.normal(kw, (K, N), jnp.float32) * 0.02
             wb = w.astype(jnp.bfloat16)
-            t_dense = slope_time(lambda a: a @ wb, x)
             rl_dense = matmul_roofline(M, K, N, weight_bits=16)
+            t_dense = slope_time(lambda a: a @ wb, x,
+                                 floor_s=rl_dense.t_roofline_s)
             row = [f"{t_dense*1e6:.1f} us ({rl_dense.pct(t_dense):.0f}%RL)"]
             for fmt in fmts:
                 qt = codecs.quantize_matmul_weight(w, fmt=fmt, block_size=block)
-                t = slope_time(lambda a, qt=qt: mm.matmul_quantized(a, qt), x)
                 bits = 4 if qt.bits == 4 else 8
                 rl = matmul_roofline(M, K, N, weight_bits=bits,
                                      block_size=block)
+                t = slope_time(lambda a, qt=qt: mm.matmul_quantized(a, qt), x,
+                               floor_s=rl.t_roofline_s)
                 row.append(
                     f"{t*1e6:.1f} us ({t_dense/t:.2f}x, {rl.pct(t):.0f}%RL)")
             line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"

@@ -51,7 +51,7 @@ def make_trace(n_requests: int, rate: float, max_prompt: int, max_new: int,
 
 def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
             rate: float = 16.0, max_new: int = 64, n_slots: int = 8,
-            use_kernel=None, seed: int = 0):
+            use_kernel=None, kv_quant: bool = False, seed: int = 0):
     """Serve one Poisson trace; returns the engine metrics dict."""
     from quanta_tpu.serve import Engine, Request
 
@@ -62,6 +62,11 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
         prefill_buckets=(64, 256),
         use_kernel=use_kernel,
         max_admits_per_step=1,
+        kv_quant=kv_quant,
+    )
+    pool_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(eng.pool)
     )
     trace = make_trace(n_requests, rate, max_prompt=250, max_new=max_new,
                        vocab=cfg.vocab_size, seed=seed)
@@ -70,7 +75,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
     # measured trace is steady-state serving, not compilation
     warm = Request(uid=-1, prompt=trace[0][1], max_new_tokens=4)
     eng.submit(warm)
-    while eng.waiting or any(s.busy for s in eng.slots):
+    while eng._draining:
         eng.step()
     eng.finished.clear()
     eng._steps = 0
@@ -79,9 +84,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
 
     t0 = time.perf_counter()
     next_uid = 0
-    while next_uid < len(trace) or eng.waiting or any(
-        s.busy for s in eng.slots
-    ):
+    while next_uid < len(trace) or eng._draining:
         now = time.perf_counter() - t0
         while next_uid < len(trace) and trace[next_uid][0] <= now:
             arr, prompt = trace[next_uid]
@@ -95,6 +98,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
 
     m = eng.metrics()
     m["fmt"] = fmt_name
+    m["kv_pool_mib"] = round(pool_bytes / 2**20, 1)
     m["n_requests"] = n_requests
     m["offered_rate_req_s"] = rate
     log(f"{fmt_name:9s} serve: {m['throughput_tok_s']:8.1f} tok/s/chip | "
@@ -115,6 +119,8 @@ def main():
     ap.add_argument("--rate", type=float, default=16.0)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="add an int8-KV-cache row for the first format")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CPU smoke run)")
     ap.add_argument("--out", default=os.path.join(os.getcwd(), "docs",
@@ -143,6 +149,12 @@ def main():
             rate=args.rate, max_new=args.max_new, n_slots=args.slots,
             use_kernel=uk,
         ))
+        if args.kv_quant and fmt == args.fmt[0]:
+            rows.append(run_one(
+                params, cfg, fmt_name=f"{fmt}+kv8", n_requests=args.requests,
+                rate=args.rate, max_new=args.max_new, n_slots=args.slots,
+                use_kernel=uk, kv_quant=True,
+            ))
 
     lines = [
         "# Serving benchmark — continuous-batching Engine under Poisson load",
@@ -156,14 +168,15 @@ def main():
         " bucketed gathers, per-step sampling readback included).",
         "",
         "| format | tok/s/chip | TTFT p50 (ms) | TTFT p99 (ms) | decode "
-        "steps | preemptions |",
-        "|---|---|---|---|---|---|",
+        "steps | preemptions | KV pool (MiB) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for m in rows:
         lines.append(
             f"| {m['fmt']} | {m['throughput_tok_s']} | "
             f"{m.get('ttft_p50_ms', '-')} | {m.get('ttft_p99_ms', '-')} | "
-            f"{m['decode_steps']} | {m['preemptions']} |"
+            f"{m['decode_steps']} | {m['preemptions']} | "
+            f"{m['kv_pool_mib']} |"
         )
     lines.append("")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

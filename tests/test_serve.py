@@ -309,7 +309,7 @@ def test_engine_decode_page_bucketing(tiny):
                     max_new_tokens=30)]
     eng.submit(reqs[0])
     widths = []
-    while eng.waiting or any(s.busy for s in eng.slots):
+    while eng._draining:
         eng.step()
         widths.append(eng._last_decode_width)
     # 3-token prompt grows to 33: starts at width 1, ends at width 4+,
