@@ -1,17 +1,32 @@
 """Per-kernel microbenchmark: fused dequant-matmul vs dense bf16.
 
 Measures the production kernels (quanta_tpu.ops.matmul) at TinyLlama
-decode/prefill shapes on the real chip and writes docs/KERNEL_BENCH.md.
+decode/prefill shapes on the real chip and writes docs/KERNEL_BENCH.md
+with speedup-vs-dense and %-of-roofline per cell.
 
-Timing protocol (this matters on the axon TPU tunnel, where
-block_until_ready does not wait for execution): each op is applied L times
-inside one jit with a serializing carry, the scalar result is read back to
-host, and per-op time is the slope between two L values.
+Measurement design (hard-won; see docs/KERNEL_DESIGN.md "Timing
+protocol"):
+
+* **Streaming harness.** A loop-invariant weight gets pinned in VMEM by
+  XLA across scan iterations, so naive micro-loops measure a
+  weights-resident regime that real multi-layer decode never sees
+  (dense 2048x2048 measured 3.8 us vs its 10.3 us HBM floor). Here the
+  inner scan runs over R stacked weight replicas (R sized so the stack
+  exceeds VMEM), the same access pattern as scanning a model's layers —
+  HBM traffic is honest.
+* **Noise floor.** On the axon tunnel, per-call host jitter is 10-300 ms
+  and block_until_ready does not wait. Each measurement therefore runs
+  >= ~200 ms of device work inside one jit, repeats the (short, long)
+  loop pair 5 times interleaved, and takes the median slope. Cells whose
+  median still lands below the shape's physical roofline floor are
+  clamped to the floor and marked "~" (measurement failure, not magic —
+  round 2 committed a "0.0 us (24415x)" artifact of exactly this mode).
 
 Usage: python -m quanta_tpu.benchmarks.kernel_bench [--out docs/KERNEL_BENCH.md]
 """
 
 import argparse
+import dataclasses
 import os
 import time
 
@@ -23,53 +38,63 @@ from quanta_tpu.core import codecs
 from quanta_tpu.ops import matmul as mm
 from quanta_tpu.profiling import matmul_roofline
 
+TARGET_S = 0.2  # device work per long loop
+REPS = 5
 
-def _make_loop(op, x, L):
+
+def _replicas(bytes_one: int) -> int:
+    """Stack size so the weight working set clearly exceeds VMEM."""
+    return int(min(24, max(3, (192 << 20) // max(bytes_one, 1) + 1)))
+
+
+def _make_loop(op, L: int):
+    """L outer iterations, each scanning over all R stacked weights."""
+
     @jax.jit
-    def loop(seed, L=L):
-        def body(acc, _):
-            xi = x + (acc * 1e-30).astype(x.dtype)
-            out = op(xi)
-            return out.astype(jnp.float32).sum() * 1e-30, None
+    def loop(seed, x, ws, L=L):
+        def outer(acc, _):
+            def body(a, w):
+                xi = x + (a * 1e-30).astype(x.dtype)
+                return op(xi, w).astype(jnp.float32).sum() * 1e-30, None
 
-        acc, _ = jax.lax.scan(body, seed, None, length=L)
+            a, _ = jax.lax.scan(body, acc, ws)
+            return a, None
+
+        acc, _ = jax.lax.scan(outer, seed, None, length=L)
         return acc
 
     return loop
 
 
-def _timed(loop, reps=3):
-    np.asarray(loop(jnp.float32(0)))  # compile + warm
-    best = 1e9
-    for r in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(loop(jnp.float32(r + 1)))
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _timed(loop, args, seed: float) -> float:
+    t0 = time.perf_counter()
+    np.asarray(loop(jnp.float32(seed), *args))
+    return time.perf_counter() - t0
 
 
-def slope_time(op, x, floor_s: float = 0.0):
-    """Per-op time as the slope between two in-jit loop lengths.
+def slope_time(op, x, ws, R: int, floor_s: float):
+    """Median-of-REPS slope between a short and a long loop length.
 
-    The loop lengths ADAPT to the op: host/tunnel call jitter is on the
-    order of milliseconds, so the long loop must accumulate >= ~25 ms of
-    device work for the slope to be signal rather than noise (round-2's
-    committed "0.0 us (24415x)" row was exactly this failure: L1=272 of a
-    ~10 us op is 2.7 ms of work, below the jitter floor). ``floor_s`` is
-    a physical lower bound (e.g. the HBM roofline); a slope below half of
-    it is remeasured with a longer loop and the best-supported value wins.
-    """
-    est = max(_timed(_make_loop(op, x, 32), reps=2) / 32, 1e-7)
-    L1 = int(min(max(272, 0.025 / est), 16384))
-    for attempt in range(3):
-        L0 = max(16, L1 // 8)
-        t0 = _timed(_make_loop(op, x, L0))
-        t1 = _timed(_make_loop(op, x, L1))
-        slope = (t1 - t0) / (L1 - L0)
-        if slope >= max(floor_s * 0.5, 1e-8):
-            return slope
-        L1 = min(L1 * 4, 65536)  # implausibly fast: not enough signal
-    return max(slope, floor_s * 0.5, 1e-9)
+    Returns (seconds_per_op, suspect) — suspect=True when the median
+    lands under the physical floor (clamped to it)."""
+    loop_est = _make_loop(op, 2)
+    _timed(loop_est, (x, ws), 0.0)  # compile
+    est = max(min(_timed(loop_est, (x, ws), 1.0),
+                  _timed(loop_est, (x, ws), 2.0)) / (2 * R), 1e-7)
+    L1 = int(np.clip(TARGET_S / (est * R), 4, 4096))
+    L0 = max(1, L1 // 8)
+    lo, hi = _make_loop(op, L0), _make_loop(op, L1)
+    _timed(lo, (x, ws), 0.0)
+    _timed(hi, (x, ws), 0.0)
+    slopes = []
+    for r in range(REPS):
+        t0 = _timed(lo, (x, ws), r + 1.0)
+        t1 = _timed(hi, (x, ws), r + 101.0)
+        slopes.append((t1 - t0) / ((L1 - L0) * R))
+    s = float(np.median(slopes))
+    if s < floor_s:
+        return floor_s, True
+    return s, False
 
 
 def main():
@@ -93,8 +118,10 @@ def main():
     lines = [
         "# Kernel microbenchmarks — fused dequant-matmul vs dense bf16",
         "",
-        f"Device: `{dev}` · block_size={block} · timing: in-jit scan slope "
-        "(see benchmarks/kernel_bench.py docstring)",
+        f"Device: `{dev}` · block_size={block} · streaming-weights scan "
+        "harness, median-of-5 in-jit slope (see kernel_bench.py docstring; "
+        "`~` marks a cell clamped to its roofline floor because the "
+        "measurement undershot physics)",
         "",
     ]
     for M in args.m:
@@ -110,18 +137,36 @@ def main():
             w = jax.random.normal(kw, (K, N), jnp.float32) * 0.02
             wb = w.astype(jnp.bfloat16)
             rl_dense = matmul_roofline(M, K, N, weight_bits=16)
-            t_dense = slope_time(lambda a: a @ wb, x,
-                                 floor_s=rl_dense.t_roofline_s)
-            row = [f"{t_dense*1e6:.1f} us ({rl_dense.pct(t_dense):.0f}%RL)"]
+            Rd = _replicas(K * N * 2)
+            wsd = jnp.stack([wb] * Rd)
+            jax.block_until_ready(wsd)
+            t_dense, sus = slope_time(
+                lambda a, wi: a @ wi, x, wsd, Rd, rl_dense.t_roofline_s
+            )
+            del wsd
+            mark = "~" if sus else ""
+            row = [f"{mark}{t_dense*1e6:.1f} us "
+                   f"({rl_dense.pct(t_dense):.0f}%RL)"]
             for fmt in fmts:
-                qt = codecs.quantize_matmul_weight(w, fmt=fmt, block_size=block)
+                qt = codecs.quantize_matmul_weight(w, fmt=fmt,
+                                                   block_size=block)
                 bits = 4 if qt.bits == 4 else 8
                 rl = matmul_roofline(M, K, N, weight_bits=bits,
                                      block_size=block)
-                t = slope_time(lambda a, qt=qt: mm.matmul_quantized(a, qt), x,
-                               floor_s=rl.t_roofline_s)
-                row.append(
-                    f"{t*1e6:.1f} us ({t_dense/t:.2f}x, {rl.pct(t):.0f}%RL)")
+                Rq = _replicas(qt.codes.size + qt.scale.size * 4)
+                ws = {"c": jnp.stack([qt.codes] * Rq),
+                      "s": jnp.stack([qt.scale] * Rq)}
+                jax.block_until_ready(ws)
+
+                def op(a, wi, qt=qt):
+                    q = dataclasses.replace(qt, codes=wi["c"], scale=wi["s"])
+                    return mm.matmul_quantized(a, q)
+
+                t, sus = slope_time(op, x, ws, Rq, rl.t_roofline_s)
+                del ws
+                mark = "~" if sus else ""
+                row.append(f"{mark}{t*1e6:.1f} us ({t_dense/t:.2f}x, "
+                           f"{rl.pct(t):.0f}%RL)")
             line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"
             lines.append(line)
             print(line, flush=True)
@@ -133,11 +178,14 @@ def main():
         "- `%RL` = percent of the shape's roofline (max of HBM-bytes and",
         "  MXU-flops floors for the format's weight bit-width; see",
         "  quanta_tpu.profiling.matmul_roofline).",
-        "- nf4a/int4 dequantize arithmetically (Horner polynomial) and beat",
-        "  dense bf16 in memory-bound decode; table-lookup nf4 pays ~20 VPU",
-        "  ops per weight element for exact QLoRA-NF4 levels.",
-        "- At prefill shapes the MXU dominates and all formats converge",
-        "  toward dense throughput.",
+        "- nf4a/int4 dequantize arithmetically (Horner polynomial);",
+        "  table-lookup nf4 pays ~19 VPU ops per weight element for exact",
+        "  QLoRA-NF4 levels — the measured VPU floor of an arbitrary",
+        "  16-entry LUT (docs/KERNEL_DESIGN.md).",
+        "- Numbers are the streaming-weights regime (weights read from HBM",
+        "  every step, like real multi-layer decode); single-weight loops",
+        "  that let XLA pin the weight in VMEM run up to ~3x faster and",
+        "  are not representative.",
         "",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
