@@ -156,7 +156,7 @@ def main():
             jax.block_until_ready(sparams)
             m = run_one(
                 sparams, cfg, fmt_name=fmt, n_requests=16, rate=24.0,
-                max_new=48, n_slots=8,
+                max_new=48, n_slots=8, multi_step=8,
                 use_kernel=on_tpu if fmt != "llm_int8" else None,
             )
             serve[fmt] = {

@@ -51,7 +51,8 @@ def make_trace(n_requests: int, rate: float, max_prompt: int, max_new: int,
 
 def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
             rate: float = 16.0, max_new: int = 64, n_slots: int = 8,
-            use_kernel=None, kv_quant: bool = False, seed: int = 0):
+            use_kernel=None, kv_quant: bool = False, multi_step: int = 1,
+            seed: int = 0):
     """Serve one Poisson trace; returns the engine metrics dict."""
     from quanta_tpu.serve import Engine, Request
 
@@ -63,6 +64,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
         use_kernel=use_kernel,
         max_admits_per_step=1,
         kv_quant=kv_quant,
+        multi_step=multi_step,
     )
     pool_bytes = sum(
         int(np.prod(a.shape)) * a.dtype.itemsize
@@ -71,16 +73,16 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
     trace = make_trace(n_requests, rate, max_prompt=250, max_new=max_new,
                        vocab=cfg.vocab_size, seed=seed)
 
-    # warm the compiled programs (prefill buckets + decode widths) so the
-    # measured trace is steady-state serving, not compilation
+    # warm the compiled programs (prefill buckets + every decode width the
+    # trace can reach) so the measured trace is steady-state serving, not
+    # compilation
     warm = Request(uid=-1, prompt=trace[0][1], max_new_tokens=4)
     eng.submit(warm)
     while eng._draining:
         eng.step()
     eng.finished.clear()
-    eng._steps = 0
-    eng._decode_tokens = 0
-    eng._t_serve = 0.0
+    max_need = (250 + max_new + eng.multi_step) // eng.page_size + 1
+    eng.warm_widths(max_need)
 
     t0 = time.perf_counter()
     next_uid = 0
@@ -98,6 +100,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
 
     m = eng.metrics()
     m["fmt"] = fmt_name
+    m["multi_step"] = multi_step
     m["kv_pool_mib"] = round(pool_bytes / 2**20, 1)
     m["n_requests"] = n_requests
     m["offered_rate_req_s"] = rate
@@ -121,6 +124,9 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--kv-quant", action="store_true",
                     help="add an int8-KV-cache row for the first format")
+    ap.add_argument("--multi-step", type=int, default=1,
+                    help="decode steps per device program (amortizes "
+                         "host-link latency)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CPU smoke run)")
     ap.add_argument("--out", default=os.path.join(os.getcwd(), "docs",
@@ -147,13 +153,13 @@ def main():
         rows.append(run_one(
             params, cfg, fmt_name=fmt, n_requests=args.requests,
             rate=args.rate, max_new=args.max_new, n_slots=args.slots,
-            use_kernel=uk,
+            use_kernel=uk, multi_step=args.multi_step,
         ))
         if args.kv_quant and fmt == args.fmt[0]:
             rows.append(run_one(
                 params, cfg, fmt_name=f"{fmt}+kv8", n_requests=args.requests,
                 rate=args.rate, max_new=args.max_new, n_slots=args.slots,
-                use_kernel=uk, kv_quant=True,
+                use_kernel=uk, kv_quant=True, multi_step=args.multi_step,
             ))
 
     lines = [

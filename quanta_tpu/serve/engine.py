@@ -94,6 +94,7 @@ class Engine:
         rng_seed: int = 0,
         recorder=None,
         pipeline: bool = True,
+        multi_step: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -136,13 +137,29 @@ class Engine:
             (n_slots, self.max_pages_per_slot), np.int32
         )
         self._rng = jax.random.PRNGKey(rng_seed)
+        # decode-path RNG lives ON DEVICE (split in-program each step);
+        # the host never reads it. Admission sampling uses self._rng.
+        self._dev_key = jax.random.PRNGKey(rng_seed + 1)
+        # device-resident scheduler state: when no scheduling event
+        # (admit/retire/preempt/growth) happened since the last dispatch
+        # and the active set is unchanged, the next dispatch reuses the
+        # previous step's returned positions and the cached page table /
+        # sampling params — zero host->device uploads per steady step.
+        self._dev = None
+        self._sched_dirty = True
         # pipelined ("async") stepping: each step() dispatches the fused
         # decode+sample program WITHOUT reading it back, then processes the
         # PREVIOUS step's tokens — so host bookkeeping, scheduling and the
         # device->host transfer overlap the chip's current step instead of
         # serializing with it. Sampled tokens chain step-to-step on device.
         self.pipeline = pipeline
-        self._pending = None  # {"ids": [(slot_id, uid)], "tokens": device}
+        # multi-token scheduling: dispatch up to ``multi_step`` decode
+        # steps in ONE device program (runner.decode_multi_step), paying
+        # one dispatch + one readback per window instead of per token.
+        # Amortizes host-link latency; admission/retire granularity
+        # becomes the window. 1 = per-token (lowest TTFT jitter).
+        self.multi_step = max(1, multi_step)
+        self._pending = None  # {"ids": [(slot, uid)], "tokens": (k, B), "k": k}
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
@@ -156,11 +173,15 @@ class Engine:
         """Enqueue a request, rejecting up front anything the engine could
         never serve (so the step loop can't deadlock on the head of line)."""
         prompt_len = len(req.prompt)
-        total_len = prompt_len + req.max_new_tokens
+        # multi_step > 1 reserves window headroom: a retire discovered
+        # mid-window may have written up to multi_step-1 positions past
+        # the request's own budget
+        total_len = prompt_len + req.max_new_tokens + self.multi_step - 1
         if total_len > self.cfg.max_seq_len:
             raise ValueError(
                 f"request {req.uid}: prompt ({prompt_len}) + max_new_tokens "
-                f"({req.max_new_tokens}) exceeds max_seq_len "
+                f"({req.max_new_tokens}) + window headroom "
+                f"({self.multi_step - 1}) exceeds max_seq_len "
                 f"{self.cfg.max_seq_len}"
             )
         worst_pages = self._pages_needed(total_len)
@@ -234,6 +255,7 @@ class Engine:
         slot.pages = pages
         slot.seq_len = prompt_len
         slot.last_token = first
+        self._sched_dirty = True
         self._admit_counter += 1
         slot.admit_seq = self._admit_counter
         self._page_table[slot_id, :] = 0
@@ -241,23 +263,24 @@ class Engine:
         self._maybe_finish(slot_id, first)
         return True
 
-    def _grow_if_needed(self, slot_id: int) -> bool:
-        """Ensure the page holding position ``seq_len`` exists (the next
-        decode step writes the KV of last_token at that position).
-        Returns False if the pool has no free page (caller preempts)."""
+    def _grow_if_needed(self, slot_id: int, ahead: int = 1) -> bool:
+        """Ensure pages for positions ``seq_len .. seq_len+ahead-1`` exist
+        (the next dispatch writes KV at those positions).
+        Returns False if the pool runs out of pages (caller preempts)."""
         slot = self.slots[slot_id]
-        page_idx = slot.seq_len // self.page_size
+        page_idx = (slot.seq_len + ahead - 1) // self.page_size
         if page_idx >= self.max_pages_per_slot:
             raise MemoryError(
                 f"request {slot.request.uid} exceeded max_seq_len "
                 f"{self.cfg.max_seq_len}"
             )
-        if page_idx >= len(slot.pages):
+        while len(slot.pages) <= page_idx:
             if self.alloc.free_pages < 1:
                 return False
             (new_page,) = self.alloc.alloc(1)
             slot.pages.append(new_page)
-            self._page_table[slot_id, page_idx] = new_page
+            self._page_table[slot_id, len(slot.pages) - 1] = new_page
+            self._sched_dirty = True
         return True
 
     def _preempt(self, slot_id: int) -> None:
@@ -276,16 +299,17 @@ class Engine:
         self._page_table[slot_id, :] = 0
         self.slots[slot_id] = _Slot()
         self.waiting.appendleft(req)
+        self._sched_dirty = True
         self._preemptions += 1
         if self.recorder is not None:
             self.recorder.count("preemptions", 1)
 
-    def _ensure_growth(self, slot_id: int) -> None:
+    def _ensure_growth(self, slot_id: int, ahead: int = 1) -> None:
         """Backpressure instead of MemoryError: when the pool is exhausted
         mid-decode, preempt the most recently admitted *other* request until
         this slot can grow. Submit-time capacity checks guarantee progress:
         a lone request's worst-case page need always fits the pool."""
-        while not self._grow_if_needed(slot_id):
+        while not self._grow_if_needed(slot_id, ahead):
             victims = [
                 i
                 for i, s in enumerate(self.slots)
@@ -311,6 +335,7 @@ class Engine:
             self.alloc.free(slot.pages)
             self._page_table[slot_id, :] = 0
             self.slots[slot_id] = _Slot()
+            self._sched_dirty = True
         return done
 
     # ----------------------------------------------------------- step loop
@@ -326,83 +351,131 @@ class Engine:
         pool-pressure preemption as usual; seq_len then advances
         optimistically — processing only appends tokens and retires."""
         cand = []
+        pend_uid = (
+            dict(self._pending["ids"]) if self._pending is not None else {}
+        )
+        pend_k = self._pending["k"] if self._pending is not None else 0
         for i, s in enumerate(self.slots):
             if not s.busy:
                 continue
-            in_flight = 1 if (
-                self._pending is not None
-                and any(sid == i and uid == s.request.uid
-                        for sid, uid in self._pending["ids"])
-            ) else 0
-            if len(s.request.output) + in_flight >= s.request.max_new_tokens:
-                continue  # retires when the pending token is processed
+            in_flight = pend_k if pend_uid.get(i) == s.request.uid else 0
+            rem = s.request.max_new_tokens - len(s.request.output) - in_flight
+            if rem <= 0:
+                continue  # retires when the pending tokens are processed
             cand.append(i)
-        # senior-first growth: under pool pressure older requests preempt
-        # newer ones, never the other way around
+        if not cand:
+            return 0
+        # the window is ALWAYS multi_step tokens (one compiled program per
+        # page-width bucket, nothing else): a slot whose budget ends
+        # mid-window gets its overshoot trimmed at processing — submit()
+        # reserved the KV headroom for exactly this
+        k = self.multi_step
+        # senior-first growth (covering all k window positions): under
+        # pool pressure older requests preempt newer ones, never the
+        # other way around
         for i in sorted(cand, key=lambda i: self.slots[i].admit_seq):
             if self.slots[i].busy:
-                self._ensure_growth(i)
+                self._ensure_growth(i, ahead=k)
         cand = [i for i in cand if self.slots[i].busy]  # preemption culls
         if not cand:
             return 0
 
-        positions = np.full((self.n_slots,), -1, np.int32)
-        host_tokens = np.zeros((self.n_slots,), np.int32)
-        temps = np.zeros((self.n_slots,), np.float32)
-        top_ks = np.zeros((self.n_slots,), np.int32)
-        chain = np.zeros((self.n_slots,), bool)
-        pending_uid = (
-            dict(self._pending["ids"]) if self._pending is not None else {}
-        )
-        for i in cand:
-            s = self.slots[i]
-            positions[i] = s.seq_len
-            host_tokens[i] = s.last_token  # valid unless chained
-            temps[i] = s.request.sampling.temperature
-            top_ks[i] = s.request.sampling.top_k
-            # a slot with an unprocessed step chains its input token from
-            # that step's device output (the host hasn't seen it yet); the
-            # uid check guards against the slot having been preempted and
-            # reseated since that dispatch
-            chain[i] = pending_uid.get(i) == s.request.uid
-
-        # bucket the page-table width by the widest active sequence: this
-        # step reads position seq_len's page at most, so the pool gather
+        # bucket the page-table width by the widest active sequence: the
+        # window reads up to position seq_len+k-1, so the pool gather
         # (the decode HBM floor) scales with actual lengths
-        need = max(self.slots[i].seq_len // self.page_size + 1 for i in cand)
+        need = max(
+            (self.slots[i].seq_len + k - 1) // self.page_size + 1
+            for i in cand
+        )
         width = next(b for b in self.decode_page_buckets if b >= need)
         self._last_decode_width = width
 
-        tokens_in = jnp.asarray(host_tokens)
-        if self._pending is not None and chain.any():
-            tokens_in = jnp.where(
-                jnp.asarray(chain), self._pending["tokens"], tokens_in
+        ids = [(i, self.slots[i].request.uid) for i in cand]
+        steady = (
+            not self._sched_dirty
+            and self._dev is not None
+            and self._dev["ids"] == ids
+            and self._dev["width"] == width
+            and self._dev["k"] == k
+            and self._pending is not None
+            and self._pending["ids"] == ids
+        )
+        if steady:
+            # zero host->device uploads: every input is the device output
+            # of the previous step or an unchanged cached array
+            tokens_in = self._pending["tokens"][-1]
+            positions_dev = self._dev["pos"]
+            table_dev = self._dev["table"]
+            temps_dev = self._dev["temps"]
+            topks_dev = self._dev["topks"]
+        else:
+            positions = np.full((self.n_slots,), -1, np.int32)
+            host_tokens = np.zeros((self.n_slots,), np.int32)
+            temps = np.zeros((self.n_slots,), np.float32)
+            top_ks = np.zeros((self.n_slots,), np.int32)
+            chain = np.zeros((self.n_slots,), bool)
+            pending_uid = (
+                dict(self._pending["ids"]) if self._pending is not None
+                else {}
             )
-        self._rng, key = jax.random.split(self._rng)
-        next_tokens, self.pool = runner.decode_step_sampled(
-            self.params,
-            self.pool,
-            jnp.asarray(self._page_table[:, :width]),
-            jnp.asarray(positions),
-            tokens_in,
-            key,
-            jnp.asarray(temps),
-            jnp.asarray(top_ks),
-            self.cfg,
-            self.page_size,
-            use_kernel=self.use_kernel,
-            top_k=self.top_k,
-            max_top_k=self.max_top_k,
+            for i in cand:
+                s = self.slots[i]
+                positions[i] = s.seq_len
+                host_tokens[i] = s.last_token  # valid unless chained
+                temps[i] = s.request.sampling.temperature
+                top_ks[i] = s.request.sampling.top_k
+                # a slot with an unprocessed step chains its input token
+                # from that step's device output (the host hasn't seen it
+                # yet); the uid check guards against the slot having been
+                # preempted and reseated since that dispatch
+                chain[i] = pending_uid.get(i) == s.request.uid
+            tokens_in = jnp.asarray(host_tokens)
+            if self._pending is not None and chain.any():
+                tokens_in = jnp.where(
+                    jnp.asarray(chain), self._pending["tokens"][-1],
+                    tokens_in,
+                )
+            positions_dev = jnp.asarray(positions)
+            table_dev = jnp.asarray(self._page_table[:, :width])
+            temps_dev = jnp.asarray(temps)
+            topks_dev = jnp.asarray(top_ks)
+
+        toks_seq, next_positions, self._dev_key, self.pool = (
+            runner.decode_multi_step(
+                self.params,
+                self.pool,
+                table_dev,
+                positions_dev,
+                tokens_in,
+                self._dev_key,
+                temps_dev,
+                topks_dev,
+                self.cfg,
+                self.page_size,
+                k,
+                use_kernel=self.use_kernel,
+                top_k=self.top_k,
+                max_top_k=self.max_top_k,
+            )
         )
         for i in cand:
-            self.slots[i].seq_len += 1
+            self.slots[i].seq_len += k
+        self._dev = {
+            "ids": ids,
+            "width": width,
+            "k": k,
+            "table": table_dev,
+            "pos": next_positions,
+            "temps": temps_dev,
+            "topks": topks_dev,
+        }
+        self._sched_dirty = False
         self._steps += 1
         if self.recorder is not None:
             self.recorder.count("decode_dispatches", 1)
-        self._pending_new = {
-            "ids": [(i, self.slots[i].request.uid) for i in cand],
-            "tokens": next_tokens,
-        }
+            if steady:
+                self.recorder.count("steady_steps", 1)
+        self._pending_new = {"ids": ids, "tokens": toks_seq, "k": k}
         return len(cand)
 
     def _process_pending(self) -> int:
@@ -411,17 +484,18 @@ class Engine:
         if self._pending is None:
             return 0
         t0 = time.perf_counter()
-        tokens = np.asarray(self._pending["tokens"])
+        tokens = np.asarray(self._pending["tokens"])  # (k, n_slots)
         kept = 0
-        for slot_id, uid in self._pending["ids"]:
-            slot = self.slots[slot_id]
-            if slot.request is None or slot.request.uid != uid:
-                continue  # preempted/retired since dispatch: token dropped
-            tok = int(tokens[slot_id])
-            slot.request.output.append(tok)
-            slot.last_token = tok
-            kept += 1
-            self._maybe_finish(slot_id, tok)
+        for t in range(self._pending["k"]):
+            for slot_id, uid in self._pending["ids"]:
+                slot = self.slots[slot_id]
+                if slot.request is None or slot.request.uid != uid:
+                    continue  # preempted/retired/EOS: window tail dropped
+                tok = int(tokens[t, slot_id])
+                slot.request.output.append(tok)
+                slot.last_token = tok
+                kept += 1
+                self._maybe_finish(slot_id, tok)
         self._pending = None
         self._decode_tokens += kept
         if self.recorder is not None:
@@ -464,6 +538,25 @@ class Engine:
             or self._pending is not None
             or any(s.busy for s in self.slots)
         )
+
+    def warm_widths(self, max_width_need: int, max_new: int = 2) -> None:
+        """Compile the decode programs for every page-width bucket up to
+        ``max_width_need`` pages by serving short dummy requests (benches
+        call this so measured traces are steady-state, not compilation).
+        Dummy requests are dropped from ``finished`` and the counters."""
+        for b in self.decode_page_buckets:
+            if b > max_width_need:
+                break
+            plen = max(1, b * self.page_size - self.multi_step - max_new - 1)
+            self.submit(Request(uid=-1_000_000 - b,
+                                prompt=np.zeros(plen, np.int32),
+                                max_new_tokens=max_new))
+            while self._draining:
+                self.step()
+        self.finished = [r for r in self.finished if r.uid > -1_000_000]
+        self._steps = 0
+        self._decode_tokens = 0
+        self._t_serve = 0.0
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
         """Serve a batch of requests to completion; returns them finished."""

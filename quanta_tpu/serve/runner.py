@@ -170,11 +170,15 @@ def decode_step_sampled(
 ):
     """decode_step + sampling fused into ONE device program.
 
-    Returns (next_tokens (n_slots,) int32 — left on device by the caller
-    so the next step can chain on it without a host round trip — and the
-    updated pool). Halves the per-step dispatch count and removes the
-    blocking logits readback from the engine's critical path (the engine
-    reads the *previous* step's tokens while this one runs).
+    The scheduler state threads through on DEVICE: the returned
+    next_tokens / next_positions / next_key feed the next step directly,
+    so a steady-state step (no admission, retirement, or page growth)
+    costs the engine ZERO host->device uploads — one dispatch, and a
+    deferred readback of the previous step's tokens. The RNG key is
+    split in-program; the host never sees it.
+
+    Returns (next_tokens (n_slots,) i32, next_positions (n_slots,) i32
+    — advanced by one for active slots — next_key, updated pool).
     """
     from quanta_tpu.serve.sampling import _sample_batch
 
@@ -182,9 +186,72 @@ def decode_step_sampled(
         params, pool, page_table, positions, tokens, cfg, page_size,
         use_kernel=use_kernel,
     )
+    key, sub = jax.random.split(key)
     if max_top_k > 0:
-        nxt = _sample_batch(logits, key, temps, top_ks=top_ks,
+        nxt = _sample_batch(logits, sub, temps, top_ks=top_ks,
                             max_top_k=max_top_k)
     else:
-        nxt = _sample_batch(logits, key, temps, top_k=top_k)
-    return nxt, pool
+        nxt = _sample_batch(logits, sub, temps, top_k=top_k)
+    next_positions = jnp.where(positions >= 0, positions + 1, positions)
+    return nxt, next_positions, key, pool
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "n_steps", "use_kernel", "top_k",
+                     "max_top_k"),
+    donate_argnums=(1,),
+)
+def decode_multi_step(
+    params,
+    pool: dict,
+    page_table: jax.Array,
+    positions: jax.Array,
+    tokens: jax.Array,
+    key: jax.Array,
+    temps: jax.Array,
+    top_ks: jax.Array,
+    cfg,
+    page_size: int,
+    n_steps: int,
+    use_kernel=None,
+    top_k: int = 0,
+    max_top_k: int = 0,
+):
+    """``n_steps`` fused decode+sample steps in ONE device program.
+
+    Amortizes per-dispatch host latency n_steps-fold: the engine pays one
+    dispatch + one token readback per WINDOW instead of per token (the
+    multi-step scheduling of TPU serving stacks; on a high-latency
+    control link this is the difference between RTT-bound and
+    compute-bound serving). The caller pre-allocates pages covering
+    positions ``seq_len .. seq_len+n_steps-1`` and guarantees every
+    dispatched slot has >= n_steps of output budget; EOS inside the
+    window wastes the tail steps for that slot (the tokens are dropped on
+    the host — the optimistic-dispatch safety argument in engine.py
+    covers the stale KV writes).
+
+    Returns (tokens_seq (n_steps, n_slots) i32, next_positions, next_key,
+    updated pool).
+    """
+    from quanta_tpu.serve.sampling import _sample_batch
+
+    def body(carry, _):
+        pool, positions, tokens, key = carry
+        logits, pool = decode_step(
+            params, pool, page_table, positions, tokens, cfg, page_size,
+            use_kernel=use_kernel,
+        )
+        key, sub = jax.random.split(key)
+        if max_top_k > 0:
+            nxt = _sample_batch(logits, sub, temps, top_ks=top_ks,
+                                max_top_k=max_top_k)
+        else:
+            nxt = _sample_batch(logits, sub, temps, top_k=top_k)
+        positions = jnp.where(positions >= 0, positions + 1, positions)
+        return (pool, positions, nxt, key), nxt
+
+    (pool, positions, _, key), toks = jax.lax.scan(
+        body, (pool, positions, tokens, key), None, length=n_steps
+    )
+    return toks, positions, key, pool

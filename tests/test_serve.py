@@ -340,3 +340,62 @@ def test_engine_pipeline_equals_sync(tiny):
     assert out_p == out_s
     assert m_p["output_tokens"] == m_s["output_tokens"]
     assert m_p["requests_finished"] == m_s["requests_finished"] == 4
+
+
+def test_engine_steady_state_device_resident(tiny):
+    """Between scheduling events the dispatch loop reuses device-resident
+    state (no host re-uploads): most steps of a lone long request are
+    steady (page growth, every page_size tokens, is the only event)."""
+    from quanta_tpu.metrics import MetricsRecorder
+
+    cfg, params = tiny
+    rec = MetricsRecorder()
+    eng = Engine(params, cfg, n_slots=2, page_size=8,
+                 prefill_buckets=(8,), use_kernel=False, recorder=rec)
+    eng.submit(Request(uid=0, prompt=np.asarray([1, 2, 3], np.int32),
+                       max_new_tokens=40))
+    while eng._draining:
+        eng.step()
+    snap = rec.snapshot()
+    assert snap["decode_dispatches"] >= 35
+    # growth fires every 8 tokens; everything else should be steady
+    assert snap["steady_steps"] >= snap["decode_dispatches"] * 0.7
+
+
+@pytest.mark.parametrize("ms", [2, 8])
+def test_engine_multi_step_equals_single(tiny, ms):
+    """multi_step=k (k decode steps per device program) produces exactly
+    the same outputs as per-token stepping for greedy requests."""
+    cfg, params = tiny
+    prompts = _prompts(cfg, [3, 9, 14], seed=11)
+
+    def serve(k):
+        eng = Engine(params, cfg, n_slots=2, page_size=8,
+                     prefill_buckets=(16,), use_kernel=False, multi_step=k)
+        reqs = [Request(uid=i, prompt=p, max_new_tokens=11)
+                for i, p in enumerate(prompts)]
+        done = eng.run(reqs)
+        return {r.uid: list(r.output) for r in done}
+
+    assert serve(ms) == serve(1)
+
+
+def test_engine_multi_step_with_eos(tiny):
+    """EOS inside a multi-step window: the tail of the window is dropped
+    and output is trimmed exactly as per-token stepping would."""
+    cfg, params = tiny
+    prompts = _prompts(cfg, [5, 8], seed=13)
+
+    def serve(k, eos):
+        eng = Engine(params, cfg, n_slots=2, page_size=8,
+                     prefill_buckets=(16,), use_kernel=False, multi_step=k,
+                     eos_id=eos)
+        reqs = [Request(uid=i, prompt=p, max_new_tokens=12)
+                for i, p in enumerate(prompts)]
+        done = eng.run(reqs)
+        return {r.uid: list(r.output) for r in done}
+
+    # pick an eos id that actually occurs in the greedy output
+    base = serve(1, None)
+    eos = base[0][2]
+    assert serve(4, eos) == serve(1, eos)
