@@ -23,7 +23,10 @@ scalar back to host, and takes the slope between two loop lengths.
 Prints ONE JSON line:
   {"metric": "tinyllama_nf4a_decode_tokens_per_sec_per_chip",
    "value": <tok/s>, "unit": "tokens/s/chip", "vs_baseline": <nf4a/bf16>,
-   "extra": {...decode/prefill/ttft for bf16, nf4, nf4a...}}
+   "nf4a_vs_bf16": ..., "nf4_vs_bf16": ...,
+   "extra": {decode/prefill/ttft for bf16, nf4, nf4a;
+             "serve": engine tok/s + TTFT p50/p99 for nf4a and llm_int8
+             (continuous batching under a Poisson trace, multi_step=8)}}
 """
 
 import json
