@@ -76,13 +76,8 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
     # warm the compiled programs (prefill buckets + every decode width the
     # trace can reach) so the measured trace is steady-state serving, not
     # compilation
-    warm = Request(uid=-1, prompt=trace[0][1], max_new_tokens=4)
-    eng.submit(warm)
-    while eng._draining:
-        eng.step()
-    eng.finished.clear()
     max_need = (250 + max_new + eng.multi_step) // eng.page_size + 1
-    eng.warm_widths(max_need)
+    eng.warm_widths(max_need, max_prompt_len=250)
 
     t0 = time.perf_counter()
     next_uid = 0
@@ -93,8 +88,10 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
             eng.submit(Request(uid=next_uid, prompt=prompt,
                                max_new_tokens=max_new))
             next_uid += 1
-        if eng.step() == 0 and next_uid < len(trace):
-            # idle before the next arrival: sleep to its arrival time
+        eng.step()
+        if eng.idle and next_uid < len(trace):
+            # truly idle (nothing seated or in flight) before the next
+            # arrival: sleep to its arrival time
             time.sleep(max(0.0, trace[next_uid][0] - (time.perf_counter() - t0)))
     eng._t_serve = time.perf_counter() - t0
 
@@ -127,6 +124,10 @@ def main():
     ap.add_argument("--multi-step", type=int, default=1,
                     help="decode steps per device program (amortizes "
                          "host-link latency)")
+    ap.add_argument("--light-rate", type=float, default=0.0,
+                    help="add a sub-saturation row for the first format "
+                         "at this offered rate (TTFT measures the engine, "
+                         "not the queue)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (CPU smoke run)")
     ap.add_argument("--out", default=os.path.join(os.getcwd(), "docs",
@@ -160,6 +161,16 @@ def main():
                 params, cfg, fmt_name=f"{fmt}+kv8", n_requests=args.requests,
                 rate=args.rate, max_new=args.max_new, n_slots=args.slots,
                 use_kernel=uk, kv_quant=True, multi_step=args.multi_step,
+            ))
+        if args.light_rate > 0 and fmt == args.fmt[0]:
+            # sub-saturation: TTFT here is the ENGINE's latency (prefill +
+            # first window + readback), not queueing delay
+            rows.append(run_one(
+                params, cfg, fmt_name=f"{fmt}@light",
+                n_requests=max(8, args.requests // 4),
+                rate=args.light_rate, max_new=args.max_new,
+                n_slots=args.slots, use_kernel=uk,
+                multi_step=args.multi_step,
             ))
 
     lines = [

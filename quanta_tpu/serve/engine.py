@@ -6,19 +6,30 @@ scheduler feeding fixed-shape jitted device programs, so nothing ever
 recompiles mid-serve:
 
   admit   — when a slot is free and the page pool has room, pop the next
-            waiting request, prefill its prompt (bucketed static length),
-            scatter the prompt KV into freshly allocated pages, and seat
-            it in the slot. Admission happens *between* decode steps —
-            running requests never stall on a newcomer's prefill finishing
-            (that is the "continuous" in continuous batching).
-  decode  — ONE token for ALL active slots per step through the paged
-            decode program (serve/runner.py), lazily allocating a new KV
-            page only when a sequence actually crosses a page boundary.
+            waiting request, dispatch its prefill (bucketed static
+            length) + first-token sampling ON DEVICE, scatter the prompt
+            KV into freshly allocated pages, and seat it. Nothing is read
+            back: the first token chains into the next decode window as a
+            device scalar, so admission costs the step loop only the
+            dispatch (the prefill computes on-chip, in line with decode).
+  decode  — ``multi_step`` tokens for ALL active slots per dispatch
+            through the paged decode program (serve/runner.py), lazily
+            allocating a new KV page only when a sequence actually
+            crosses a page boundary.
   retire  — on EOS or max_new_tokens, free the slot + its pages and
             record completion; the next admit reuses them immediately.
 
-Metrics per request: TTFT (arrival -> first token on host) and decode
-latency; aggregate throughput from the step loop. These are the
+Host-link hiding (measured in benchmarks/engine_gap_bench.py: on the axon
+TPU tunnel a device->host readback costs a full ~30 ms RTT, while
+dispatches and ``copy_to_host_async`` are free): every dispatched token
+batch starts an async device->host copy immediately, and the engine keeps
+up to ``pipeline_depth`` windows in flight before it processes the
+oldest — by which time the copy has landed and the readback costs ~0.1 ms
+instead of an RTT. Sampled tokens chain step-to-step on device, so the
+deferred processing never feeds the device stale inputs.
+
+Metrics per request: TTFT (arrival -> first token visible on host) and
+decode latency; aggregate throughput from the step loop. These are the
 BASELINE.json metric set (tokens/sec/chip, p50 TTFT).
 """
 
@@ -35,7 +46,7 @@ import numpy as np
 
 from quanta_tpu.models.llama import LlamaConfig
 from quanta_tpu.serve import kvcache, runner
-from quanta_tpu.serve.sampling import SamplingParams, _sample_batch, sample
+from quanta_tpu.serve.sampling import SamplingParams
 
 
 @dataclasses.dataclass
@@ -57,6 +68,31 @@ class Request:
     @property
     def finished(self) -> bool:
         return self.t_done > 0
+
+
+@jax.jit
+def _scatter_token(row: jax.Array, idx: jax.Array, tok: jax.Array):
+    """row.at[idx] = tok with a DYNAMIC index: one compiled program for
+    every slot (a python-int index would bake into the HLO and compile
+    once per slot value — measurably expensive over the TPU tunnel)."""
+    return row.at[idx].set(tok)
+
+
+@jax.jit
+def _merge_rows(old: jax.Array, new: jax.Array, mask: jax.Array):
+    return jnp.where(mask, new, old)
+
+
+@jax.jit
+def _set_page(table: jax.Array, slot: jax.Array, idx: jax.Array,
+              page: jax.Array):
+    """Write one page id into the device-resident page table (dynamic
+    indices: one compiled program per table width). Lets page growth
+    update the cached device table in place instead of dirtying the
+    steady-state dispatch path — growth is the most frequent scheduling
+    event (every page_size tokens per slot), and without this the engine
+    re-uploads its whole dispatch state every couple of windows."""
+    return table.at[slot, idx].set(page)
 
 
 @dataclasses.dataclass
@@ -94,6 +130,7 @@ class Engine:
         rng_seed: int = 0,
         recorder=None,
         pipeline: bool = True,
+        pipeline_depth: int = 2,
         multi_step: int = 1,
     ):
         self.params = params
@@ -138,7 +175,8 @@ class Engine:
         )
         self._rng = jax.random.PRNGKey(rng_seed)
         # decode-path RNG lives ON DEVICE (split in-program each step);
-        # the host never reads it. Admission sampling uses self._rng.
+        # the host never reads it. Admission sampling keys split from
+        # self._rng on host but sample on device.
         self._dev_key = jax.random.PRNGKey(rng_seed + 1)
         # device-resident scheduler state: when no scheduling event
         # (admit/retire/preempt/growth) happened since the last dispatch
@@ -147,22 +185,43 @@ class Engine:
         # sampling params — zero host->device uploads per steady step.
         self._dev = None
         self._sched_dirty = True
-        # pipelined ("async") stepping: each step() dispatches the fused
-        # decode+sample program WITHOUT reading it back, then processes the
-        # PREVIOUS step's tokens — so host bookkeeping, scheduling and the
-        # device->host transfer overlap the chip's current step instead of
-        # serializing with it. Sampled tokens chain step-to-step on device.
+        # pipelined stepping: each step() dispatches device programs
+        # WITHOUT reading them back and keeps up to ``pipeline_depth``
+        # token batches in flight; the oldest is processed only once the
+        # queue exceeds the depth, by which time its async device->host
+        # copy (started at dispatch) has landed — host bookkeeping never
+        # pays the link RTT. pipeline=False processes every batch in the
+        # step that dispatched it (depth 0, the synchronous oracle).
         self.pipeline = pipeline
+        self.pipeline_depth = max(0, pipeline_depth) if pipeline else 0
         # multi-token scheduling: dispatch up to ``multi_step`` decode
         # steps in ONE device program (runner.decode_multi_step), paying
         # one dispatch + one readback per window instead of per token.
         # Amortizes host-link latency; admission/retire granularity
         # becomes the window. 1 = per-token (lowest TTFT jitter).
         self.multi_step = max(1, multi_step)
-        self._pending = None  # {"ids": [(slot, uid)], "tokens": (k, B), "k": k}
+        # in-flight decode windows, FIFO. Each entry:
+        #   {"ids": [(slot, uid, seat)], "tokens": device array
+        #    ((off + k, n_slots)), "k": decode tokens per listed slot,
+        #    "off": 1 if row 0 is the window's INPUT token row,
+        #    "admits": [(slot, uid, seat)] whose first generated token is
+        #    that input row (admission piggybacks its token on the next
+        #    window's readback: zero extra round trips per admission)}
+        self._pending: Deque[dict] = deque()
+        # slots admitted since the last dispatch: their first token rides
+        # row 0 of the next window that includes them
+        self._fresh_admit: Dict[int, Tuple[int, int]] = {}
+        # device-resident last-sampled-token row, one entry per slot:
+        # updated at every admission (scatter) and every decode dispatch
+        # (masked merge of the window's final token row), so it is ALWAYS
+        # the freshest input token for every seated slot — dispatches
+        # read it directly and never wait for host processing.
+        self._tok_row = jnp.zeros((n_slots,), jnp.int32)
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
+        self._t_first_dispatch = 0.0
+        self._t_last_process = 0.0
         self._admit_counter = 0
         self._preemptions = 0
         self.recorder = recorder  # optional quanta_tpu.metrics.MetricsRecorder
@@ -205,8 +264,21 @@ class Engine:
     def _pages_needed(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page_size)
 
+    def _in_flight(self, slot_id: int, uid: int) -> int:
+        """Tokens dispatched for (slot, uid) that the host has not yet
+        processed (across all pending batches)."""
+        n = 0
+        for e in self._pending:
+            for s, u, _seat in e["ids"]:
+                if s == slot_id and u == uid:
+                    n += e["k"]
+        return n
+
     def _try_admit(self) -> bool:
-        """Seat one waiting request into a free slot. Returns True if seated."""
+        """Seat one waiting request into a free slot. Returns True if
+        seated. Fully asynchronous: prefill, KV scatter and first-token
+        sampling are dispatched to the device and the token readback is
+        deferred to pending processing — the step loop never blocks here."""
         if not self.waiting:
             return False
         free = [i for i, s in enumerate(self.slots) if not s.busy]
@@ -246,21 +318,26 @@ class Engine:
             self.pool, jnp.asarray(write_vec, jnp.int32), k_seq, v_seq
         )
         self._rng, key = jax.random.split(self._rng)
-        first = int(sample(last_logits[None], key, req.sampling)[0])
-        if not req.t_first_token:  # preserved across preemption
-            req.t_first_token = time.perf_counter()
-        req.output.append(first)
+        first = runner.sample_one(
+            last_logits, key,
+            jnp.float32(req.sampling.temperature),
+            jnp.int32(req.sampling.top_k),
+            top_k=self.top_k, max_top_k=self.max_top_k,
+        )
 
         slot.request = req
         slot.pages = pages
         slot.seq_len = prompt_len
-        slot.last_token = first
+        slot.last_token = 0  # unknown until processed; _tok_row covers it
         self._sched_dirty = True
         self._admit_counter += 1
         slot.admit_seq = self._admit_counter
         self._page_table[slot_id, :] = 0
         self._page_table[slot_id, : len(pages)] = pages
-        self._maybe_finish(slot_id, first)
+        self._tok_row = _scatter_token(
+            self._tok_row, jnp.int32(slot_id), first
+        )
+        self._fresh_admit[slot_id] = (req.uid, slot.admit_seq)
         return True
 
     def _grow_if_needed(self, slot_id: int, ahead: int = 1) -> bool:
@@ -279,8 +356,17 @@ class Engine:
                 return False
             (new_page,) = self.alloc.alloc(1)
             slot.pages.append(new_page)
-            self._page_table[slot_id, len(slot.pages) - 1] = new_page
-            self._sched_dirty = True
+            col = len(slot.pages) - 1
+            self._page_table[slot_id, col] = new_page
+            if self._dev is not None and col < self._dev["width"]:
+                # patch the cached device table in place: growth within
+                # the current width bucket keeps the steady-state path
+                self._dev["table"] = _set_page(
+                    self._dev["table"], jnp.int32(slot_id),
+                    jnp.int32(col), jnp.int32(new_page),
+                )
+            else:
+                self._sched_dirty = True
         return True
 
     def _preempt(self, slot_id: int) -> None:
@@ -288,7 +374,9 @@ class Engine:
         requeue it at the head of the line with its generated tokens folded
         into the prompt, so re-admission re-prefills the full context and
         generation resumes exactly where it stopped (t_first_token and the
-        max_new_tokens budget are preserved)."""
+        max_new_tokens budget are preserved). In-flight tokens for the slot
+        are dropped at processing (seat mismatch) — they were never
+        delivered, and generation re-draws them after re-admission."""
         slot = self.slots[slot_id]
         req = slot.request
         req.prompt = np.concatenate(
@@ -298,6 +386,7 @@ class Engine:
         self.alloc.free(slot.pages)
         self._page_table[slot_id, :] = 0
         self.slots[slot_id] = _Slot()
+        self._fresh_admit.pop(slot_id, None)
         self.waiting.appendleft(req)
         self._sched_dirty = True
         self._preemptions += 1
@@ -335,33 +424,30 @@ class Engine:
             self.alloc.free(slot.pages)
             self._page_table[slot_id, :] = 0
             self.slots[slot_id] = _Slot()
+            self._fresh_admit.pop(slot_id, None)
             self._sched_dirty = True
         return done
 
     # ----------------------------------------------------------- step loop
 
     def _dispatch(self) -> int:
-        """Dispatch ONE fused decode+sample step for every dispatchable
+        """Dispatch ONE fused decode+sample window for every dispatchable
         slot, without reading the result back. Returns slots dispatched.
 
         A slot is dispatchable if its output budget cannot already be
-        exhausted by the still-unprocessed pending token (so the optimistic
-        extra step never writes KV past max_seq_len). Growth for the
-        position this step writes (seq_len) is ensured up front, with
+        exhausted by still-unprocessed in-flight tokens (so the optimistic
+        extra window never writes KV past max_seq_len). Growth for the
+        positions this window writes is ensured up front, with
         pool-pressure preemption as usual; seq_len then advances
         optimistically — processing only appends tokens and retires."""
         cand = []
-        pend_uid = (
-            dict(self._pending["ids"]) if self._pending is not None else {}
-        )
-        pend_k = self._pending["k"] if self._pending is not None else 0
         for i, s in enumerate(self.slots):
             if not s.busy:
                 continue
-            in_flight = pend_k if pend_uid.get(i) == s.request.uid else 0
+            in_flight = self._in_flight(i, s.request.uid)
             rem = s.request.max_new_tokens - len(s.request.output) - in_flight
             if rem <= 0:
-                continue  # retires when the pending tokens are processed
+                continue  # retires when the in-flight tokens are processed
             cand.append(i)
         if not cand:
             return 0
@@ -390,55 +476,43 @@ class Engine:
         width = next(b for b in self.decode_page_buckets if b >= need)
         self._last_decode_width = width
 
-        ids = [(i, self.slots[i].request.uid) for i in cand]
+        ids = [(i, self.slots[i].request.uid, self.slots[i].admit_seq)
+               for i in cand]
         steady = (
             not self._sched_dirty
             and self._dev is not None
             and self._dev["ids"] == ids
             and self._dev["width"] == width
             and self._dev["k"] == k
-            and self._pending is not None
-            and self._pending["ids"] == ids
         )
+        # input tokens are ALWAYS the device-resident row (admissions
+        # scatter into it, windows merge into it): no host readback ever
+        # gates a dispatch
+        tokens_in = self._tok_row
         if steady:
             # zero host->device uploads: every input is the device output
             # of the previous step or an unchanged cached array
-            tokens_in = self._pending["tokens"][-1]
             positions_dev = self._dev["pos"]
             table_dev = self._dev["table"]
             temps_dev = self._dev["temps"]
             topks_dev = self._dev["topks"]
+            mask_dev = self._dev["mask"]
         else:
             positions = np.full((self.n_slots,), -1, np.int32)
-            host_tokens = np.zeros((self.n_slots,), np.int32)
             temps = np.zeros((self.n_slots,), np.float32)
             top_ks = np.zeros((self.n_slots,), np.int32)
-            chain = np.zeros((self.n_slots,), bool)
-            pending_uid = (
-                dict(self._pending["ids"]) if self._pending is not None
-                else {}
-            )
+            mask = np.zeros((self.n_slots,), bool)
             for i in cand:
                 s = self.slots[i]
                 positions[i] = s.seq_len
-                host_tokens[i] = s.last_token  # valid unless chained
                 temps[i] = s.request.sampling.temperature
                 top_ks[i] = s.request.sampling.top_k
-                # a slot with an unprocessed step chains its input token
-                # from that step's device output (the host hasn't seen it
-                # yet); the uid check guards against the slot having been
-                # preempted and reseated since that dispatch
-                chain[i] = pending_uid.get(i) == s.request.uid
-            tokens_in = jnp.asarray(host_tokens)
-            if self._pending is not None and chain.any():
-                tokens_in = jnp.where(
-                    jnp.asarray(chain), self._pending["tokens"][-1],
-                    tokens_in,
-                )
+                mask[i] = True
             positions_dev = jnp.asarray(positions)
             table_dev = jnp.asarray(self._page_table[:, :width])
             temps_dev = jnp.asarray(temps)
             topks_dev = jnp.asarray(top_ks)
+            mask_dev = jnp.asarray(mask)
 
         toks_seq, next_positions, self._dev_key, self.pool = (
             runner.decode_multi_step(
@@ -458,6 +532,22 @@ class Engine:
                 max_top_k=self.max_top_k,
             )
         )
+        # admissions since the last dispatch ride along: their first
+        # token IS this window's input row, so stack it in front and the
+        # window's one readback delivers it — no per-admission round trip
+        admits = []
+        for i in cand:
+            fa = self._fresh_admit.pop(i, None)
+            s = self.slots[i]
+            if fa == (s.request.uid, s.admit_seq):
+                admits.append((i, fa[0], fa[1]))
+        if admits:
+            toks_store = jnp.concatenate([tokens_in[None], toks_seq], axis=0)
+            off = 1
+        else:
+            toks_store, off = toks_seq, 0
+        toks_store.copy_to_host_async()
+        self._tok_row = _merge_rows(self._tok_row, toks_seq[-1], mask_dev)
         for i in cand:
             self.slots[i].seq_len += k
         self._dev = {
@@ -468,95 +558,162 @@ class Engine:
             "pos": next_positions,
             "temps": temps_dev,
             "topks": topks_dev,
+            "mask": mask_dev,
         }
         self._sched_dirty = False
         self._steps += 1
+        if not self._t_first_dispatch:
+            self._t_first_dispatch = time.perf_counter()
         if self.recorder is not None:
             self.recorder.count("decode_dispatches", 1)
             if steady:
                 self.recorder.count("steady_steps", 1)
-        self._pending_new = {"ids": ids, "tokens": toks_seq, "k": k}
+        self._pending.append({"ids": ids, "tokens": toks_store, "k": k,
+                              "off": off, "admits": admits})
         return len(cand)
 
-    def _process_pending(self) -> int:
-        """Read back the oldest in-flight step's tokens and do the host
-        bookkeeping (append, EOS/max retire). Returns tokens kept."""
-        if self._pending is None:
-            return 0
-        t0 = time.perf_counter()
-        tokens = np.asarray(self._pending["tokens"])  # (k, n_slots)
+    def _process_due(self, min_batches: int = 0) -> int:
+        """Read back every in-flight window beyond the pipeline depth (at
+        least ``min_batches``) and do the host bookkeeping (append,
+        EOS/max retire). Returns tokens kept.
+
+        Each window's async device->host copy was started at dispatch, so
+        by the time a window falls off the pipeline its tokens have
+        usually landed and the readback costs ~0.1 ms, not an RTT."""
+        n_due = max(len(self._pending) - self.pipeline_depth, min_batches)
+        n_due = min(n_due, len(self._pending))
         kept = 0
-        for t in range(self._pending["k"]):
-            for slot_id, uid in self._pending["ids"]:
+        for _ in range(n_due):
+            entry = self._pending.popleft()
+            t0 = time.perf_counter()
+            tokens = np.asarray(entry["tokens"])  # (off + k, n_slots)
+            # admissions riding this window: row 0 is the window's input
+            # token row == their first generated token
+            for slot_id, uid, seat in entry["admits"]:
                 slot = self.slots[slot_id]
-                if slot.request is None or slot.request.uid != uid:
-                    continue  # preempted/retired/EOS: window tail dropped
-                tok = int(tokens[t, slot_id])
-                slot.request.output.append(tok)
+                if (slot.request is None or slot.request.uid != uid
+                        or slot.admit_seq != seat):
+                    continue  # preempted since: token dropped, re-drawn
+                tok = int(tokens[0, slot_id])
+                req = slot.request
+                if not req.t_first_token:  # preserved across preemption
+                    req.t_first_token = time.perf_counter()
+                req.output.append(tok)
                 slot.last_token = tok
                 kept += 1
                 self._maybe_finish(slot_id, tok)
-        self._pending = None
-        self._decode_tokens += kept
-        if self.recorder is not None:
-            self.recorder.count("decode_tokens", kept)
-            self.recorder.observe("decode_step", time.perf_counter() - t0)
+            decoded = 0
+            for t in range(entry["off"], entry["off"] + entry["k"]):
+                for slot_id, uid, seat in entry["ids"]:
+                    slot = self.slots[slot_id]
+                    if (slot.request is None or slot.request.uid != uid
+                            or slot.admit_seq != seat):
+                        continue  # preempted/retired: window tail dropped
+                    tok = int(tokens[t, slot_id])
+                    slot.request.output.append(tok)
+                    slot.last_token = tok
+                    decoded += 1
+                    self._maybe_finish(slot_id, tok)
+            kept += decoded
+            self._decode_tokens += decoded
+            if self.recorder is not None:
+                self.recorder.count("decode_tokens", decoded)
+                self.recorder.observe(
+                    "decode_step", time.perf_counter() - t0)
+        if n_due:
+            self._t_last_process = time.perf_counter()
         return kept
 
     def step(self) -> int:
         """Admit up to ``max_admits_per_step`` requests, dispatch one
-        decode step, then process the previous step's tokens. Returns the
-        number of tokens processed (0 on pipeline-fill steps).
+        decode window, then process in-flight batches down to the pipeline
+        depth. Returns the number of tokens processed (0 on pipeline-fill
+        steps).
 
-        The admission budget bounds how long running requests can stall on
-        newcomers' prefills in any single step (one prefill's latency,
-        rather than up to n_slots of them back-to-back); admission still
-        happens every step, so free slots refill continuously. If no slot
-        is decoding there is nothing to stall — admit until full."""
+        The admission budget bounds how much device time newcomers'
+        prefills can inject between decode windows in any single step;
+        admission still happens every step, so free slots refill
+        continuously. If no slot is decoding there is nothing to stall —
+        admit until full."""
         budget = self.max_admits_per_step
         if not any(s.busy for s in self.slots):
             budget = self.n_slots
         while budget > 0 and self._try_admit():
             budget -= 1
 
-        self._pending_new = None
-        self._dispatch()
-        if not self.pipeline and self._pending_new is not None:
-            # synchronous mode: process the step we just dispatched
-            self._pending = self._pending_new
-            self._pending_new = None
-        produced = self._process_pending()
-        if self._pending_new is not None:
-            self._pending = self._pending_new
-            self._pending_new = None
+        dispatched = self._dispatch()
+        # drain the queue down to the configured depth in ONE batched
+        # readback; if nothing was dispatched this step (budgets all in
+        # flight / slots idle), process at least one batch so the loop
+        # always makes progress
+        produced = self._process_due(
+            min_batches=0 if dispatched else 1
+        )
         return produced
 
     @property
     def _draining(self) -> bool:
         return bool(
             self.waiting
-            or self._pending is not None
+            or self._pending
             or any(s.busy for s in self.slots)
         )
 
-    def warm_widths(self, max_width_need: int, max_new: int = 2) -> None:
-        """Compile the decode programs for every page-width bucket up to
-        ``max_width_need`` pages by serving short dummy requests (benches
-        call this so measured traces are steady-state, not compilation).
-        Dummy requests are dropped from ``finished`` and the counters."""
+    @property
+    def idle(self) -> bool:
+        """True when the engine has nothing queued, in flight, or seated
+        (a frontend can sleep until the next arrival)."""
+        return not self._draining
+
+    def warm_widths(self, max_width_need: int,
+                    max_prompt_len: Optional[int] = None) -> None:
+        """Pre-compile every device program the engine can reach: the
+        decode window for every page-width bucket up to and INCLUDING the
+        first bucket >= ``max_width_need`` (dispatch rounds the needed
+        width UP to a bucket, so stopping below it would leave the very
+        program the trace runs uncompiled), and — when ``max_prompt_len``
+        is given — the prefill (+KV scatter + first-token sampler) for
+        every prefill bucket a prompt that long could land in. Dummy
+        decode calls run with every slot inactive (positions -1), so the
+        pool is untouched apart from the always-masked null page 0.
+        Resets the throughput counters so a following measured trace is
+        steady state."""
+        zeros = jnp.zeros((self.n_slots,), jnp.int32)
+        if max_prompt_len is not None:
+            for b in self.prefill_buckets:
+                logits, k_seq, v_seq = runner.prefill(
+                    self.params, jnp.zeros((1, b), jnp.int32), jnp.int32(1),
+                    self.cfg, use_kernel=self.use_kernel,
+                )
+                self.pool = kvcache.write_prefill(
+                    self.pool,
+                    jnp.zeros((self._pages_needed(b),), jnp.int32),
+                    k_seq, v_seq,
+                )
+                runner.sample_one(
+                    logits, self._rng, jnp.float32(0.0), jnp.int32(0),
+                    top_k=self.top_k, max_top_k=self.max_top_k,
+                )
+                if b >= max_prompt_len:
+                    break
         for b in self.decode_page_buckets:
-            if b > max_width_need:
+            tok, _, self._dev_key, self.pool = runner.decode_multi_step(
+                self.params, self.pool,
+                jnp.zeros((self.n_slots, b), jnp.int32),
+                zeros - 1, zeros, self._dev_key,
+                jnp.zeros((self.n_slots,), jnp.float32), zeros,
+                self.cfg, self.page_size, self.multi_step,
+                use_kernel=self.use_kernel,
+                top_k=self.top_k, max_top_k=self.max_top_k,
+            )
+            if b >= max_width_need:
                 break
-            plen = max(1, b * self.page_size - self.multi_step - max_new - 1)
-            self.submit(Request(uid=-1_000_000 - b,
-                                prompt=np.zeros(plen, np.int32),
-                                max_new_tokens=max_new))
-            while self._draining:
-                self.step()
-        self.finished = [r for r in self.finished if r.uid > -1_000_000]
+        jax.block_until_ready(tok)
         self._steps = 0
         self._decode_tokens = 0
         self._t_serve = 0.0
+        self._t_first_dispatch = 0.0
+        self._t_last_process = 0.0
 
     def run(self, requests: Sequence[Request]) -> List[Request]:
         """Serve a batch of requests to completion; returns them finished."""
@@ -573,14 +730,18 @@ class Engine:
     def metrics(self) -> Dict[str, float]:
         ttfts = sorted(r.ttft for r in self.finished if r.t_first_token)
         total_out = sum(len(r.output) for r in self.finished)
+        # callers stepping the engine themselves (no run()) still get a
+        # throughput: the first-dispatch -> last-process span
+        span = self._t_serve or (
+            self._t_last_process - self._t_first_dispatch
+            if self._t_last_process > self._t_first_dispatch else 0.0
+        )
         m = {
             "requests_finished": len(self.finished),
             "output_tokens": total_out,
             "decode_steps": self._steps,
-            "serve_seconds": round(self._t_serve, 4),
-            "throughput_tok_s": round(total_out / self._t_serve, 1)
-            if self._t_serve
-            else 0.0,
+            "serve_seconds": round(span, 4),
+            "throughput_tok_s": round(total_out / span, 1) if span else 0.0,
             "pool_pages_free": self.alloc.free_pages,
             "preemptions": self._preemptions,
         }

@@ -110,6 +110,37 @@ def write_token(
     return pool_l.at[page_idx, offset].set(kv_new)
 
 
+def write_token_layer(
+    pool_a: jax.Array,
+    layer: int,
+    page_table: jax.Array,
+    positions: jax.Array,
+    kv_new: jax.Array,
+    page_size: int,
+) -> jax.Array:
+    """write_token against the FULL stacked pool array (L, n_pages, ...),
+    updating layer ``layer`` in place.
+
+    The decode step must use this (not a per-layer list + jnp.stack):
+    scattering into the donated full array lowers to an in-place
+    dynamic-update-scatter, while rebuilding the stack copies the whole
+    pool every step — measured 36 -> 78 ms per 8-token decode window when
+    the pool grows 257 -> 1025 pages, i.e. the copy, not the compute, was
+    the serving engine's real bottleneck.
+
+    unique_indices: active slots each own their page (the allocator never
+    double-books), so their targets are unique. Inactive slots all map to
+    (null page 0, offset 0) — duplicate targets, but the null page is
+    masked out of every attention read, so whichever write wins is
+    irrelevant. The hint saves the scatter's combiner pass (~14% off the
+    8-token window at 257 pages, measured)."""
+    page_idx = jnp.take_along_axis(
+        page_table, (positions // page_size)[:, None], axis=1
+    )[:, 0]
+    offset = positions % page_size
+    return pool_a.at[layer, page_idx, offset].set(kv_new, unique_indices=True)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def write_prefill(
     pool: dict, pages: jax.Array, k_seq: jax.Array, v_seq: jax.Array

@@ -91,7 +91,7 @@ def decode_step(
     kv_len_mask = (kv_iota <= pos_safe[:, None]) & active[:, None]
 
     quantized = kvcache.is_quantized(pool)
-    new_pool = {key: [] for key in pool}
+    pool = dict(pool)  # leaves are swapped in place below (donated)
     for i, lp in enumerate(params["layers"]):
         x = llama.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
         q = lin(x, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
@@ -105,27 +105,29 @@ def decode_step(
             k_tok, k_sc = kvcache.quantize_kv(k_tok)
             v_tok, v_sc = kvcache.quantize_kv(v_tok)
             for key, val in (("k_scale", k_sc), ("v_scale", v_sc)):
-                new_pool[key].append(kvcache.write_token(
-                    pool[key][i], table_safe, pos_safe, val, page_size
-                ))
-        pk = kvcache.write_token(
-            pool["k"][i], table_safe, pos_safe, k_tok, page_size
+                pool[key] = kvcache.write_token_layer(
+                    pool[key], i, table_safe, pos_safe, val, page_size
+                )
+        # scatter into the FULL stacked arrays (in-place on the donated
+        # pool) — a per-layer list + jnp.stack would copy the whole pool
+        # every step, making decode time scale with POOL CAPACITY instead
+        # of active tokens (kvcache.write_token_layer docstring)
+        pool["k"] = kvcache.write_token_layer(
+            pool["k"], i, table_safe, pos_safe, k_tok, page_size
         )
-        pv = kvcache.write_token(
-            pool["v"][i], table_safe, pos_safe, v_tok, page_size
+        pool["v"] = kvcache.write_token_layer(
+            pool["v"], i, table_safe, pos_safe, v_tok, page_size
         )
-        new_pool["k"].append(pk)
-        new_pool["v"].append(pv)
 
-        k_all = kvcache.gather_layer(pk, table_safe)
-        v_all = kvcache.gather_layer(pv, table_safe)
+        k_all = kvcache.gather_layer(pool["k"][i], table_safe)
+        v_all = kvcache.gather_layer(pool["v"][i], table_safe)
         if quantized:
             k_all = kvcache.dequantize_kv(
-                k_all, kvcache.gather_layer(new_pool["k_scale"][i], table_safe),
+                k_all, kvcache.gather_layer(pool["k_scale"][i], table_safe),
                 cfg.dtype,
             )
             v_all = kvcache.dequantize_kv(
-                v_all, kvcache.gather_layer(new_pool["v_scale"][i], table_safe),
+                v_all, kvcache.gather_layer(pool["v_scale"][i], table_safe),
                 cfg.dtype,
             )
         attn = llama._attention(q, k_all, v_all, q_positions, kv_len_mask, cfg)
@@ -144,56 +146,72 @@ def decode_step(
         logits = lin(h, params["tok_emb"].T)
     else:
         logits = lin(h, params["lm_head"])
-    pool = {key: jnp.stack(vals) for key, vals in new_pool.items()}
     return logits[:, 0].astype(jnp.float32), pool
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "page_size", "use_kernel", "top_k", "max_top_k"),
-    donate_argnums=(1,),
-)
-def decode_step_sampled(
-    params,
-    pool: dict,
-    page_table: jax.Array,
-    positions: jax.Array,
-    tokens: jax.Array,
+@partial(jax.jit, static_argnames=("top_k", "max_top_k"))
+def sample_one(
+    logits: jax.Array,
     key: jax.Array,
-    temps: jax.Array,
-    top_ks: jax.Array,
-    cfg,
-    page_size: int,
-    use_kernel=None,
+    temp: jax.Array,
+    top_k_req: jax.Array,
     top_k: int = 0,
     max_top_k: int = 0,
-):
-    """decode_step + sampling fused into ONE device program.
+) -> jax.Array:
+    """Sample ONE token from (V,) logits entirely on device.
 
-    The scheduler state threads through on DEVICE: the returned
-    next_tokens / next_positions / next_key feed the next step directly,
-    so a steady-state step (no admission, retirement, or page growth)
-    costs the engine ZERO host->device uploads — one dispatch, and a
-    deferred readback of the previous step's tokens. The RNG key is
-    split in-program; the host never sees it.
-
-    Returns (next_tokens (n_slots,) i32, next_positions (n_slots,) i32
-    — advanced by one for active slots — next_key, updated pool).
+    The admission path's sampler: the engine dispatches this right after
+    ``prefill`` and defers the readback (copy_to_host_async), so seating
+    a request never blocks the step loop on a host round trip. Static
+    top_k/max_top_k match the engine's decode programs, so the admitted
+    token distribution is identical to in-window sampling.
     """
     from quanta_tpu.serve.sampling import _sample_batch
 
-    logits, pool = decode_step(
-        params, pool, page_table, positions, tokens, cfg, page_size,
-        use_kernel=use_kernel,
-    )
-    key, sub = jax.random.split(key)
     if max_top_k > 0:
-        nxt = _sample_batch(logits, sub, temps, top_ks=top_ks,
-                            max_top_k=max_top_k)
-    else:
-        nxt = _sample_batch(logits, sub, temps, top_k=top_k)
-    next_positions = jnp.where(positions >= 0, positions + 1, positions)
-    return nxt, next_positions, key, pool
+        return _sample_batch(logits[None], key, temp[None],
+                             top_ks=top_k_req[None], max_top_k=max_top_k)[0]
+    return _sample_batch(logits[None], key, temp[None], top_k=top_k)[0]
+
+
+def _attention_pool_side(q, k_pool, v_pool, pool_mask, k_side, v_side,
+                         side_mask, cfg):
+    """GQA attention of one query token over (frozen pool gather) +
+    (this window's fresh side-buffer tokens).
+
+    q: (B, 1, nh, hd); k_pool/v_pool: (B, T, nkv, hd) — the page-table
+    gather taken ONCE at window start; pool_mask: (B, T) validity (tokens
+    with position < window base, active slots only); k_side/v_side:
+    (B, k, nkv, hd) — the window's own token slots; side_mask: (k,) —
+    True for window entries already written (<= current step).
+
+    Scores for the two parts are computed separately and concatenated
+    BEFORE the softmax (bit-identical to a softmax over the concatenated
+    sequence — masked entries contribute exp(-inf)=0, and adding exact
+    zeros is order-independent); only the weighted-value sum is split
+    into pool + side partial sums. This avoids materializing a (B, T+k)
+    concatenated K/V copy of the gather every step — the whole point of
+    the side-buffer design (see decode_multi_step).
+    """
+    b, _, nh, hd = q.shape
+    nkv = k_pool.shape[2]
+    rep = nh // nkv
+    qg = q.reshape(b, 1, nkv, rep, hd)
+    scale = 1.0 / jnp.sqrt(hd).astype(jnp.float32)
+
+    s_pool = jnp.einsum("bsgrd,btgd->bgrst", qg, k_pool).astype(jnp.float32)
+    s_side = jnp.einsum("bsgrd,btgd->bgrst", qg, k_side).astype(jnp.float32)
+    s_pool = jnp.where(pool_mask[:, None, None, None, :],
+                       s_pool * scale, -1e30)
+    s_side = jnp.where(side_mask[None, None, None, None, :],
+                       s_side * scale, -1e30)
+    probs = jax.nn.softmax(
+        jnp.concatenate([s_pool, s_side], axis=-1), axis=-1
+    ).astype(q.dtype)
+    t_pool = k_pool.shape[1]
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs[..., :t_pool], v_pool)
+    out = out + jnp.einsum("bgrst,btgd->bsgrd", probs[..., t_pool:], v_side)
+    return out.reshape(b, 1, nh, hd)
 
 
 @partial(
@@ -231,27 +249,139 @@ def decode_multi_step(
     the host — the optimistic-dispatch safety argument in engine.py
     covers the stale KV writes).
 
+    The pool is touched exactly TWICE per window, not per step: one
+    page-table gather per layer at window start (frozen KV state), and
+    one scatter per layer at window end writing all n_steps fresh tokens.
+    In between, each step's attention reads the frozen gather plus a
+    small in-registers side buffer of the window's own tokens
+    (_attention_pool_side). Two reasons, both measured on the TPU:
+      * a lax.scan (or even an unrolled chain) of per-step
+        scatter-then-gather on the pool defeats XLA's in-place buffer
+        aliasing — every step copied the ENTIRE pool, so decode time
+        scaled with pool capacity (36 -> 78 ms/window at 257 -> 1025
+        pages) instead of active tokens;
+      * the gather (the decode HBM floor) is paid once per window instead
+        of once per token — an n_steps-fold reduction of paging traffic.
+
     Returns (tokens_seq (n_steps, n_slots) i32, next_positions, next_key,
     updated pool).
     """
     from quanta_tpu.serve.sampling import _sample_batch
 
-    def body(carry, _):
-        pool, positions, tokens, key = carry
-        logits, pool = decode_step(
-            params, pool, page_table, positions, tokens, cfg, page_size,
-            use_kernel=use_kernel,
+    b = tokens.shape[0]
+    active = positions >= 0
+    pos_safe = jnp.maximum(positions, 0)
+    table_safe = jnp.where(active[:, None], page_table, 0)
+    lin = partial(linear, use_kernel=use_kernel)
+    quantized = kvcache.is_quantized(pool)
+    pool = dict(pool)
+    n_layers = len(params["layers"])
+
+    t_width = page_table.shape[1] * page_size
+    kv_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t_width), 1)
+    # pool gather holds positions < window base (fresh tokens live in the
+    # side buffer until the final scatter)
+    pool_mask = (kv_iota < pos_safe[:, None]) & active[:, None]
+
+    k_pool, v_pool = [], []
+    for i in range(n_layers):
+        ka = kvcache.gather_layer(pool["k"][i], table_safe)
+        va = kvcache.gather_layer(pool["v"][i], table_safe)
+        if quantized:
+            ka = kvcache.dequantize_kv(
+                ka, kvcache.gather_layer(pool["k_scale"][i], table_safe),
+                cfg.dtype,
+            )
+            va = kvcache.dequantize_kv(
+                va, kvcache.gather_layer(pool["v_scale"][i], table_safe),
+                cfg.dtype,
+            )
+        k_pool.append(ka)
+        v_pool.append(va)
+
+    # the per-step loop is a lax.scan whose carry holds ONLY small state
+    # (tokens, key, the (L, B, k) side KV buffers): the pool stays outside
+    # the loop, so the scan cannot force pool-sized carry copies, and the
+    # compiled graph is one layer stack regardless of n_steps (a python
+    # unroll of the window made compilation time scale with k)
+    nkv, hd = cfg.n_kv_heads, cfg.head_dim
+    side_shape = (n_layers, b, n_steps, nkv, hd)
+    step_iota = jnp.arange(n_steps, dtype=jnp.int32)
+
+    def step_fn(carry, t):
+        tokens, key, side_k, side_v = carry
+        side_mask = step_iota <= t
+        h = jnp.take(params["tok_emb"], tokens[:, None], axis=0).astype(
+            cfg.dtype
         )
+        q_pos = (pos_safe + t)[:, None]
+        for i, lp in enumerate(params["layers"]):
+            x = llama.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
+            q = lin(x, lp["wq"]).reshape(b, 1, cfg.n_heads, hd)
+            kk = lin(x, lp["wk"]).reshape(b, 1, nkv, hd)
+            vv = lin(x, lp["wv"]).reshape(b, 1, nkv, hd)
+            q = llama._rope(q, q_pos, cfg.rope_theta)
+            kk = llama._rope(kk, q_pos, cfg.rope_theta)
+            side_k = jax.lax.dynamic_update_slice(
+                side_k, kk[None], (i, 0, t, 0, 0))
+            side_v = jax.lax.dynamic_update_slice(
+                side_v, vv[None], (i, 0, t, 0, 0))
+            attn = _attention_pool_side(
+                q, k_pool[i], v_pool[i], pool_mask,
+                side_k[i], side_v[i], side_mask, cfg,
+            )
+            h = h + lin(attn.reshape(b, 1, -1), lp["wo"])
+            x = llama.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+            gate = lin(x, lp["w_gate"])
+            up = lin(x, lp["w_up"])
+            h = h + lin(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+                lp["w_down"],
+            )
+        h = llama.rms_norm(h, params["norm_f"], cfg.norm_eps)
+        if cfg.tie_embeddings:
+            logits = lin(h, params["tok_emb"].T)
+        else:
+            logits = lin(h, params["lm_head"])
+        logits = logits[:, 0].astype(jnp.float32)
+
         key, sub = jax.random.split(key)
         if max_top_k > 0:
-            nxt = _sample_batch(logits, sub, temps, top_ks=top_ks,
-                                max_top_k=max_top_k)
+            tokens = _sample_batch(logits, sub, temps, top_ks=top_ks,
+                                   max_top_k=max_top_k)
         else:
-            nxt = _sample_batch(logits, sub, temps, top_k=top_k)
-        positions = jnp.where(positions >= 0, positions + 1, positions)
-        return (pool, positions, nxt, key), nxt
+            tokens = _sample_batch(logits, sub, temps, top_k=top_k)
+        return (tokens, key, side_k, side_v), tokens
 
-    (pool, positions, _, key), toks = jax.lax.scan(
-        body, (pool, positions, tokens, key), None, length=n_steps
+    init = (
+        tokens, key,
+        jnp.zeros(side_shape, cfg.dtype),
+        jnp.zeros(side_shape, cfg.dtype),
     )
+    (tokens, key, side_k, side_v), toks = jax.lax.scan(
+        step_fn, init, step_iota
+    )
+
+    # one scatter per layer: write the whole window's KV. Positions for
+    # inactive slots resolve to the always-masked null page 0.
+    tpos = pos_safe[:, None] + jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+    page_idx = jnp.take_along_axis(table_safe, tpos // page_size, axis=1)
+    offset = tpos % page_size
+    for i in range(n_layers):
+        ks = side_k[i]  # (B, k, nkv, hd)
+        vs = side_v[i]
+        if quantized:
+            kc, ksc = kvcache.quantize_kv(ks)
+            vc, vsc = kvcache.quantize_kv(vs)
+            pool["k_scale"] = pool["k_scale"].at[i, page_idx, offset].set(
+                ksc, unique_indices=True)
+            pool["v_scale"] = pool["v_scale"].at[i, page_idx, offset].set(
+                vsc, unique_indices=True)
+            ks, vs = kc, vc
+        pool["k"] = pool["k"].at[i, page_idx, offset].set(
+            ks.astype(pool["k"].dtype), unique_indices=True)
+        pool["v"] = pool["v"].at[i, page_idx, offset].set(
+            vs.astype(pool["v"].dtype), unique_indices=True)
+
+    positions = jnp.where(active, positions + n_steps, positions)
     return toks, positions, key, pool
