@@ -122,6 +122,10 @@ def main():
         variants[fmt] = qnn.quantize_params(
             params, mode=fmt, block_size=64, min_size=4096
         )
+    # imported-QLoRA path: exact NF4 codes remapped to nf4a at load time
+    # (utils.transcode_params) — double rounding, so its own gated row
+    from quanta_tpu.utils import transcode_params
+    variants["nf4->nf4a"] = transcode_params(variants["nf4"])
 
     use_kernel = jax.default_backend() == "tpu"
     table = qeval.ppl_table(
@@ -130,7 +134,8 @@ def main():
     )
 
     gate = {"int8": 0.1, "nf8": 0.1, "llm_int8": 0.1,
-            "nf4a": 0.5, "nf4": 0.5, "int4": 0.5, "fp4": 0.5}
+            "nf4a": 0.5, "nf4": 0.5, "int4": 0.5, "fp4": 0.5,
+            "nf4->nf4a": 0.5}
     lines = [
         "# Accuracy: held-out perplexity per weight format",
         "",
@@ -140,6 +145,10 @@ def main():
         "corpus-agnostic and takes real checkpoints via quanta_tpu.models.hf).",
         "",
         "Gates from BASELINE.md: delta <= 0.1 (8-bit), <= 0.5 (4-bit).",
+        "",
+        f"Compute path: {'FUSED PALLAS KERNELS on ' + str(jax.devices()[0]) if use_kernel else 'XLA reference (dequant) path on CPU'} "
+        "— on TPU this table witnesses the production kernels end to end, "
+        "not just the quantization math.",
         "",
         "| format | ppl | delta vs bf16 | gate | pass |",
         "|---|---|---|---|---|",

@@ -174,6 +174,19 @@ def main():
                 "ttft_p50_ms": m.get("ttft_p50_ms"),
                 "ttft_p99_ms": m.get("ttft_p99_ms"),
             }
+            # sustained row: 64 requests saturate the engine so ramp-up /
+            # drain at 8 slots stops dominating (the 16-request trace is
+            # kept for round-over-round comparability)
+            m64 = run_one(
+                sparams, cfg, fmt_name=f"{fmt}-64req", n_requests=64,
+                rate=40.0, max_new=48, n_slots=8, multi_step=8,
+                use_kernel=uk,
+            )
+            serve[f"{fmt}_sustained"] = {
+                "tok_s_chip": m64["throughput_tok_s"],
+                "ttft_p50_ms": m64.get("ttft_p50_ms"),
+                "ttft_p99_ms": m64.get("ttft_p99_ms"),
+            }
         results["serve"] = serve
     except Exception as e:  # serving bench must not sink the headline
         log(f"serve bench failed: {type(e).__name__}: {e}")

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quanta_tpu.core import codecs
+from quanta_tpu.ops import int8mm
 from quanta_tpu.ops import matmul as mm
 from quanta_tpu.profiling import matmul_roofline
 
@@ -113,6 +114,7 @@ def main():
         ("lm_head   ", 2048, 32000),
     ]
     fmts = ["nf4a", "nf4", "int4", "int8"]
+    i8_variants = [("llm_int8", True), ("llm_int8(xla)", False)]
     block = 64
 
     lines = [
@@ -128,8 +130,9 @@ def main():
         lines += [
             f"## M = {M} ({'decode' if M <= 16 else 'prefill'} shape)",
             "",
-            "| matmul (K x N) | dense bf16 | " + " | ".join(fmts) + " |",
-            "|---|---|" + "---|" * len(fmts),
+            "| matmul (K x N) | dense bf16 | " + " | ".join(
+                fmts + [v[0] for v in i8_variants]) + " |",
+            "|---|---|" + "---|" * (len(fmts) + len(i8_variants)),
         ]
         for label, K, N in shapes:
             kx, kw = jax.random.split(jax.random.PRNGKey(K + N))
@@ -167,6 +170,25 @@ def main():
                 mark = "~" if sus else ""
                 row.append(f"{mark}{t*1e6:.1f} us ({t_dense/t:.2f}x, "
                            f"{rl.pct(t):.0f}%RL)")
+            # LLM.int8 outlier-decomposition matmul: fused Pallas
+            # int8-MXU kernel vs pure-XLA path. The streamed weight is
+            # the int8 code matrix; the activation re-quantize runs per
+            # call, as in serving.
+            qw = int8mm.quantize_int8_weight(w)
+            rl8 = matmul_roofline(M, K, N, weight_bits=8)
+            Rq = _replicas(qw.codes.size)
+            ws8 = jnp.stack([qw.codes] * Rq)
+            jax.block_until_ready(ws8)
+            for _, use_k in i8_variants:
+                def op8(a, wi, qw=qw, use_k=use_k):
+                    q = dataclasses.replace(qw, codes=wi)
+                    return int8mm.matmul_int8(a, q, use_kernel=use_k)
+
+                t, sus = slope_time(op8, x, ws8, Rq, rl8.t_roofline_s)
+                mark = "~" if sus else ""
+                row.append(f"{mark}{t*1e6:.1f} us ({t_dense/t:.2f}x, "
+                           f"{rl8.pct(t):.0f}%RL)")
+            del ws8
             line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"
             lines.append(line)
             print(line, flush=True)

@@ -142,6 +142,7 @@ def main():
     jax.block_until_ready(dense)
 
     rows = []
+    warmed = False
     for fmt in args.fmt:
         if fmt == "bf16":
             params, uk = dense, None
@@ -151,6 +152,14 @@ def main():
             # fused Pallas kernels on TPU
             uk = on_tpu if fmt != "llm_int8" else None
         jax.block_until_ready(params)
+        if not warmed:
+            # the first trace in a fresh process absorbs residual
+            # tunnel/libtpu warm-up regardless of format (measured 2-7x):
+            # burn it on a short throwaway trace
+            run_one(params, cfg, fmt_name=f"{fmt}(warm)", n_requests=4,
+                    rate=args.rate, max_new=16, n_slots=args.slots,
+                    use_kernel=uk, multi_step=args.multi_step)
+            warmed = True
         rows.append(run_one(
             params, cfg, fmt_name=fmt, n_requests=args.requests,
             rate=args.rate, max_new=args.max_new, n_slots=args.slots,

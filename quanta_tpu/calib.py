@@ -286,13 +286,21 @@ def _entropy_range(
 
 
 def reduce_range(
-    stats: ActivationStats, method: str = "minmax", bits: int = 8
+    stats: ActivationStats, method: str = "minmax", bits: int = 8,
+    percentile: Tuple[float, float] = (0.1, 99.9),
 ) -> Tuple[float, float]:
-    """Reduce collected stats to a quantization range (lo, hi)."""
+    """Reduce collected stats to a quantization range (lo, hi).
+
+    percentile: (lo, hi) clip percentiles for method="percentile" —
+    configurable (QuantConfig.percentile) because the right clip is
+    model-dependent: the reference pinned 1-99
+    (/root/reference/Quanta/functional/model.py:176-193), which clips
+    2% of activation mass; our default keeps 99.8%.
+    """
     if method == "minmax":
         return stats.amin, stats.amax
     if method == "percentile":
-        return _percentile_range(stats.hist, stats.edges, 0.1, 99.9)
+        return _percentile_range(stats.hist, stats.edges, *percentile)
     if method == "entropy":
         return _entropy_range(stats.hist, stats.edges, bits)
     raise ValueError(f"unknown calibration method {method!r}")

@@ -318,10 +318,15 @@ def cmd_convert(args):
     from quanta_tpu.utils import convert, serialization
 
     qt = serialization.load_quantized_tensor(args.src)
-    c = QuantConfig.from_mode(args.fmt, block_size=args.block_size)
-    out = convert.convert_precision(qt, bits=c.bits, scheme=c.scheme,
-                                    codebook=c.codebook,
-                                    block_size=args.block_size)
+    if args.transcode:
+        # same-bit-width codebook remap (no fp round trip): the
+        # imported-QLoRA path, exact NF4 -> nf4a-speed serving
+        out = convert.transcode_codebook(qt, target=args.fmt)
+    else:
+        c = QuantConfig.from_mode(args.fmt, block_size=args.block_size)
+        out = convert.convert_precision(qt, bits=c.bits, scheme=c.scheme,
+                                        codebook=c.codebook,
+                                        block_size=args.block_size)
     serialization.save_quantized_tensor(out, args.out)
     log(f"{args.src} ({qt.bits}-bit) -> {args.out} ({out.bits}-bit {args.fmt})")
 
@@ -397,6 +402,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--bits", type=int, required=True)
     c.add_argument("--fmt", default="nf4")
     c.add_argument("--block-size", type=int, default=64)
+    c.add_argument("--transcode", action="store_true",
+                   help="same-bit-width codebook remap (no fp round trip), "
+                        "e.g. imported exact-NF4 -> nf4a for serving speed")
     c.add_argument("--out", required=True)
     c.add_argument("--cpu", action="store_true")
     c.set_defaults(fn=cmd_convert)

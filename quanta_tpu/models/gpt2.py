@@ -37,6 +37,10 @@ class GPT2Config:
         return self.dim // self.n_heads
 
     @property
+    def n_kv_heads(self) -> int:
+        return self.n_heads  # MHA: every query head has its own KV
+
+    @property
     def hidden_dim(self) -> int:
         return 4 * self.dim
 
@@ -189,3 +193,31 @@ def forward(
         }
         return logits, new_cache
     return logits, None
+
+
+def greedy_decode(
+    params: dict,
+    prompt: jax.Array,
+    cfg: GPT2Config,
+    max_new_tokens: int = 32,
+    *,
+    use_kernel=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Greedy generation (same contract as llama.greedy_decode); the
+    serving Engine's oracle for arch="gpt2"."""
+    b, s = prompt.shape
+    cache = init_cache(cfg, b, max_len=s + max_new_tokens)
+
+    fwd = partial(forward, cfg=cfg, use_kernel=use_kernel, interpret=interpret)
+    logits, cache = fwd(params, prompt, cache=cache)
+    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        cache, tok = carry
+        logits, cache = fwd(params, tok[:, None], cache=cache)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (cache, nxt), tok
+
+    _, toks = jax.lax.scan(step, (cache, next_tok), None, length=max_new_tokens)
+    return jnp.concatenate([prompt, jnp.moveaxis(toks, 0, 1)], axis=1)

@@ -168,6 +168,136 @@ def load_gpt2(path: str, dtype=jnp.float32) -> Tuple[dict, "object"]:
     return params, cfg
 
 
+# ------------------------------------------------------------------ export
+
+
+def _materialize(params):
+    """Dense f32 tree from any quanta_tpu tree: LoRA adapters merged into
+    their (possibly quantized) bases, quantized leaves dequantized."""
+    import jax
+
+    from quanta_tpu.nn import dequantize_params
+    from quanta_tpu.nn.lora import LoRAWeight, merge_lora
+
+    params = jax.tree_util.tree_map(
+        lambda leaf: merge_lora(leaf) if isinstance(leaf, LoRAWeight) else leaf,
+        params,
+        is_leaf=lambda x: isinstance(x, LoRAWeight),
+    )
+    return dequantize_params(params)
+
+
+def save_llama(params, cfg, path: str) -> None:
+    """Write a quanta_tpu Llama tree back to HF LlamaForCausalLM layout
+    (config.json + model.safetensors) — the inverse of :func:`load_llama`
+    and the framework's export interchange (the role of the reference's
+    torch/ONNX exporters, /root/reference/Quanta/functional/model.py:
+    307-354). Quantized / LoRA trees are materialized to dense f32 first,
+    so fine-tuned (merge-LoRA) and PTQ'd models can leave the framework
+    and load in transformers; round-trip logits parity is tested in
+    tests/test_hf_import.py.
+    """
+    from safetensors.numpy import save_file
+
+    params = _materialize(params)
+    os.makedirs(path, exist_ok=True)
+
+    t: Dict[str, np.ndarray] = {}
+
+    def put_lin(name, w):  # ours (in, out) -> HF Linear (out, in)
+        t[name] = np.asarray(w, np.float32).T.copy()
+
+    def put_vec(name, w):
+        t[name] = np.asarray(w, np.float32).copy()
+
+    put_vec("model.embed_tokens.weight", params["tok_emb"])
+    put_vec("model.norm.weight", params["norm_f"])
+    for i, lp in enumerate(params["layers"]):
+        p = f"model.layers.{i}."
+        put_vec(p + "input_layernorm.weight", lp["attn_norm"])
+        put_lin(p + "self_attn.q_proj.weight", lp["wq"])
+        put_lin(p + "self_attn.k_proj.weight", lp["wk"])
+        put_lin(p + "self_attn.v_proj.weight", lp["wv"])
+        put_lin(p + "self_attn.o_proj.weight", lp["wo"])
+        put_vec(p + "post_attention_layernorm.weight", lp["ffn_norm"])
+        put_lin(p + "mlp.gate_proj.weight", lp["w_gate"])
+        put_lin(p + "mlp.up_proj.weight", lp["w_up"])
+        put_lin(p + "mlp.down_proj.weight", lp["w_down"])
+    if not cfg.tie_embeddings:
+        put_lin("lm_head.weight", params["lm_head"])
+    save_file(t, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "intermediate_size": cfg.hidden_dim,
+        "rms_norm_eps": cfg.norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "max_position_embeddings": cfg.max_seq_len,
+        "tie_word_embeddings": cfg.tie_embeddings,
+        "hidden_act": "silu",
+        "attention_bias": False,
+        "torch_dtype": "float32",
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+
+
+def save_gpt2(params, cfg, path: str) -> None:
+    """Inverse of :func:`load_gpt2`: write HF GPT2LMHeadModel layout."""
+    from safetensors.numpy import save_file
+
+    params = _materialize(params)
+    os.makedirs(path, exist_ok=True)
+    t: Dict[str, np.ndarray] = {}
+
+    def put(name, w):  # GPT-2 Conv1D stores (in, out): no transpose
+        t["transformer." + name] = np.asarray(w, np.float32).copy()
+
+    put("wte.weight", params["wte"])
+    put("wpe.weight", params["wpe"])
+    put("ln_f.weight", params["ln_f"]["w"])
+    put("ln_f.bias", params["ln_f"]["b"])
+    for i, lp in enumerate(params["layers"]):
+        p = f"h.{i}."
+        for ours, theirs in (("ln_1", "ln_1"), ("ln_2", "ln_2")):
+            put(p + theirs + ".weight", lp[ours]["w"])
+            put(p + theirs + ".bias", lp[ours]["b"])
+        for ours, theirs in (
+            ("attn_qkv", "attn.c_attn"),
+            ("attn_out", "attn.c_proj"),
+            ("mlp_fc", "mlp.c_fc"),
+            ("mlp_out", "mlp.c_proj"),
+        ):
+            put(p + theirs + ".weight", lp[ours]["w"])
+            put(p + theirs + ".bias", lp[ours]["b"])
+    t["lm_head.weight"] = np.asarray(params["wte"], np.float32).copy()
+    save_file(t, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "architectures": ["GPT2LMHeadModel"],
+        "model_type": "gpt2",
+        "vocab_size": cfg.vocab_size,
+        "n_embd": cfg.dim,
+        "n_layer": cfg.n_layers,
+        "n_head": cfg.n_heads,
+        "n_positions": cfg.max_seq_len,
+        "n_ctx": cfg.max_seq_len,
+        "layer_norm_epsilon": cfg.norm_eps,
+        "attn_pdrop": 0.0,
+        "embd_pdrop": 0.0,
+        "resid_pdrop": 0.0,
+        "torch_dtype": "float32",
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+
+
 def _warn_unused(t: Dict[str, np.ndarray]) -> None:
     if t:
         import sys

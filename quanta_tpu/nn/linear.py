@@ -64,7 +64,7 @@ def linear(
         else:
             y = x @ codecs.dequantize_matmul_weight(w).astype(x.dtype)
     elif isinstance(w, Int8Weight):
-        y = matmul_int8(x, w)
+        y = matmul_int8(x, w, use_kernel=use_kernel, interpret=interpret)
     elif type(w).__name__ == "LoRAWeight":  # avoid circular import
         from quanta_tpu.nn.lora import lora_linear
 
@@ -233,8 +233,11 @@ def dequantize_params(params):
         if isinstance(leaf, QuantizedTensor):
             return codecs.dequantize_matmul_weight(leaf)
         if isinstance(leaf, Int8Weight):
+            k, n = leaf.shape
             dense = leaf.codes.astype(jnp.float32) * leaf.scale[None, :]
-            return dense.at[leaf.outlier_idx].set(leaf.w_outlier.astype(jnp.float32))
+            dense = dense.at[leaf.outlier_idx].set(
+                leaf.w_outlier.astype(jnp.float32))
+            return dense[:k, :n]  # drop kernel-tile padding
         return leaf
 
     return jax.tree_util.tree_map(

@@ -26,12 +26,19 @@ lowers directly onto the MXU's int8 path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-12
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 @jax.tree_util.register_dataclass
@@ -83,9 +90,17 @@ def quantize_int8_weight(
     scale = jnp.maximum(jnp.max(jnp.abs(w_inlier), axis=0) / 127.0, _EPS)
     codes = jnp.clip(jnp.round(w_inlier / scale[None, :]), -127, 127).astype(jnp.int8)
 
+    # pad to kernel tiles ONCE at quantize time (padding per matmul call
+    # would copy the weight every step). Zero code rows/cols contribute
+    # nothing to the GEMM; logical dims live in ``shape``.
+    k_pad, n_pad = _round_up(k, 128), _round_up(n, 128)
+    codes = jnp.pad(codes, ((0, k_pad - k), (0, n_pad - n)))
+    scale = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))
+    w_outlier = jnp.pad(w_outlier, ((0, 0), (0, n_pad - n)))
+
     return Int8Weight(
         codes=codes,
-        scale=scale.astype(jnp.float32),
+        scale=scale,
         outlier_idx=idx.astype(jnp.int32),
         w_outlier=w_outlier,
         threshold=float(threshold),
@@ -93,11 +108,112 @@ def quantize_int8_weight(
     )
 
 
-def matmul_int8(x: jax.Array, qw: Int8Weight, *, out_dtype=None) -> jax.Array:
-    """``x (.., K) @ W (K, N)`` via int8 GEMM + bf16 outlier GEMM."""
+# ---------------------------------------------------------- fused kernel
+
+
+def _mm_i8_kernel(xq_ref, w_ref, rs_ref, cs_ref, out_ref, acc_ref, *,
+                  out_dtype):
+    """int8 x int8 -> int32 MXU GEMM; row x col scales on the final
+    accumulator. No per-element dequant ever touches the VPU — the whole
+    reason LLM.int8's inner GEMM can beat the bf16 roofline on weight
+    bytes (codes are half the HBM traffic of bf16 weights)."""
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        xq_ref[:], w_ref[:], preferred_element_type=jnp.int32
+    )
+
+    @pl.when(kstep == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * rs_ref[:] * cs_ref[:]
+        ).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tn", "tk", "interpret", "out_dtype")
+)
+def matmul_int8_kernel(
+    xq: jax.Array,
+    codes: jax.Array,
+    row_scale: jax.Array,
+    col_scale: jax.Array,
+    *,
+    tm: int = 256,
+    tn: int = 0,
+    tk: int = 0,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """``xq (M, K) int8 @ codes (K, N) int8`` -> (M, N) out_dtype,
+    scaled by ``row_scale (M,) * col_scale (N,)`` on the int32
+    accumulator. K and N must be pre-padded (quantize_int8_weight pads to
+    128); M is padded here. Verifies SURVEY §3.3's int8-MXU seam: XLA on
+    TPU lowers int8 x int8 -> int32 dots onto the MXU's int8 path, and so
+    does Pallas."""
+    m, k_dim = xq.shape
+    kw, n = codes.shape
+    assert k_dim == kw, (k_dim, kw)
+    tm = min(tm, _round_up(m, 32))  # int8 min sublane tile is 32
+    tn = tn or (512 if n % 512 == 0 else 256 if n % 256 == 0 else 128)
+    tk = tk or min(kw, 2048)
+    while kw % tk:
+        tk //= 2
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        xq = jnp.pad(xq, ((0, m_pad - m), (0, 0)))
+        row_scale = jnp.pad(row_scale, (0, m_pad - m))
+
+    grid = (m_pad // tm, n // tn, kw // tk)
+    out = pl.pallas_call(
+        functools.partial(_mm_i8_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, s: (i, s)),
+            pl.BlockSpec((tk, tn), lambda i, j, s: (s, j)),
+            pl.BlockSpec((tm, 1), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j, s: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * kw,
+            bytes_accessed=m_pad * kw + kw * n + m_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, codes, row_scale[:, None], col_scale[None, :])
+    return out[:m]
+
+
+def matmul_int8(
+    x: jax.Array,
+    qw: Int8Weight,
+    *,
+    out_dtype=None,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x (.., K) @ W (K, N)`` via int8 GEMM + bf16 outlier GEMM.
+
+    use_kernel=True routes the inner GEMM through the fused Pallas
+    int8-MXU kernel (activations row-quantized by XLA — a cheap pass over
+    x, negligible next to the weight stream); False keeps the pure-XLA
+    reference path (CPU oracle). Default: kernel on TPU.
+    """
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
-    k = x.shape[-1]
+    k, n = qw.shape
     x2 = x.reshape(-1, k).astype(jnp.float32)
 
     # 16-bit path: gathered outlier features. f32 accumulation both for
@@ -110,16 +226,37 @@ def matmul_int8(x: jax.Array, qw: Int8Weight, *, out_dtype=None) -> jax.Array:
         preferred_element_type=jnp.float32,
     )
 
-    # int8 path: zero the outlier features, per-row absmax quantize
+    # int8 path: per-row absmax over INLIER features only (outlier
+    # activations are exactly the large ones and would blow the scale).
+    # The outlier columns themselves need no zeroing before the GEMM —
+    # their weight codes are zero, so whatever they quantize to (they
+    # clip) contributes nothing.
     mask = jnp.zeros((k,), jnp.float32).at[qw.outlier_idx].set(1.0)
     x_in = x2 * (1.0 - mask)[None, :]
     row_scale = jnp.maximum(jnp.max(jnp.abs(x_in), axis=1) / 127.0, _EPS)
-    xq = jnp.clip(jnp.round(x_in / row_scale[:, None]), -127, 127).astype(jnp.int8)
-    acc = jnp.dot(xq, qw.codes, preferred_element_type=jnp.int32)
-    y_in = acc.astype(jnp.float32) * row_scale[:, None] * qw.scale[None, :]
 
-    y = (y_in + y_out).astype(out_dtype)
-    return y.reshape(*lead, qw.shape[1])
+    k_pad = qw.codes.shape[0]
+    if use_kernel:
+        xq = jnp.clip(jnp.round(x2 / row_scale[:, None]), -127, 127).astype(
+            jnp.int8
+        )
+        if k_pad != k:
+            xq = jnp.pad(xq, ((0, 0), (0, k_pad - k)))
+        y_in = matmul_int8_kernel(
+            xq, qw.codes, row_scale, qw.scale, interpret=interpret,
+            out_dtype=jnp.float32,
+        )
+    else:
+        xq = jnp.clip(jnp.round(x_in / row_scale[:, None]), -127, 127).astype(
+            jnp.int8
+        )
+        if k_pad != k:
+            xq = jnp.pad(xq, ((0, 0), (0, k_pad - k)))
+        acc = jnp.dot(xq, qw.codes, preferred_element_type=jnp.int32)
+        y_in = acc.astype(jnp.float32) * row_scale[:, None] * qw.scale[None, :]
+
+    y = (y_in[:, :n] + y_out[:, :n]).astype(out_dtype)
+    return y.reshape(*lead, n)
 
 
 def outlier_coverage(x: jax.Array, qw: Int8Weight) -> jax.Array:

@@ -65,8 +65,7 @@ def initialize(
     it unconditionally.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count()
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -79,14 +78,23 @@ def initialize(
 
     if coordinator_address is None and num_processes in (None, 1):
         _initialized = True  # single-process: nothing to join
-        return 1
+        return jax.process_count()
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    # NOTE: nothing above may touch the backend (jax.process_count(),
+    # jax.devices(), ...) — jax.distributed.initialize must run before
+    # backend creation, and an early guard that called process_count()
+    # would silently break every real multi-process launch (exercised by
+    # tests/test_multiprocess.py, which joins two actual processes).
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    except RuntimeError as e:  # already joined by the launcher
+        if "already" not in str(e).lower():
+            raise
     _initialized = True
     return jax.process_count()
 
@@ -116,11 +124,29 @@ def make_host_mesh(
     if jax.process_count() > 1:
         from jax.experimental import mesh_utils
 
-        grid = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, data, model),
-            dcn_mesh_shape=(dcn, 1, 1),
-            devices=devices,
-        )
+        try:
+            grid = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, data, model),
+                dcn_mesh_shape=(dcn, 1, 1),
+                devices=devices,
+            )
+        except ValueError:
+            # mesh_utils granules by slice_index, which CPU (and some
+            # non-pod) topologies don't populate: granule by process
+            # instead — the 'dcn' axis still lands exactly on process
+            # boundaries (asserted in tests/test_multiprocess.py)
+            by_proc: dict = {}
+            for d in devices:
+                by_proc.setdefault(d.process_index, []).append(d)
+            if len(by_proc) != dcn:
+                raise ValueError(
+                    f"dcn={dcn} but {len(by_proc)} processes own devices"
+                )
+            rows = [
+                sorted(by_proc[p], key=lambda d: d.id)[: data * model]
+                for p in sorted(by_proc)
+            ]
+            grid = np.asarray(rows).reshape(dcn, data, model)
     else:
         grid = np.asarray(devices[:n]).reshape(dcn, data, model)
     return Mesh(grid, axis_names=("dcn", "data", "model"))
@@ -152,11 +178,15 @@ def host_fsdp_param_specs(
     cfg: LlamaConfig, params: Optional[dict] = None, tp: bool = True
 ) -> dict:
     """FSDP weight shards stay inside a host ('data' on ICI); 'dcn' only
-    carries the data-parallel gradient psum."""
-    return jax.tree_util.tree_map(
-        _retag, _sh.fsdp_param_specs(cfg, params, tp=tp),
-        is_leaf=lambda x: isinstance(x, P),
-    )
+    carries the data-parallel gradient psum.
+
+    No retag here ON PURPOSE: the inner specs' 'data' axis IS the ZeRO-3
+    weight-shard axis, and mapping it to ('dcn','data') would make every
+    per-layer weight all-gather cross DCN (the r3 advisor catch). The
+    host mesh shares the 'data'/'model' axis names, so the inner specs
+    apply directly: weights sharded inside a host, replicated over 'dcn';
+    only the batch (host_batch_spec) and the gradient psum touch DCN."""
+    return _sh.fsdp_param_specs(cfg, params, tp=tp)
 
 
 def host_cache_specs(cfg: LlamaConfig) -> dict:

@@ -222,15 +222,19 @@ def _row_parallel(x, sq: ShardedQuant, use_kernel: bool, n_chunks: int = 2,
     async scheduler overlaps communication with dequant-matmul compute.
     """
     n = sq.shape[1]
-    if n % n_chunks:
-        n_chunks = 1
+    # chunk width must satisfy the fused kernel's N tiling (N % 128 == 0,
+    # ops.matmul._pick_tile_n) — on kernel-incompatible widths fall back
+    # to a single psum rather than crash (e.g. N=128 with n_chunks=2
+    # would produce 64-wide chunks)
+    while n_chunks > 1 and (
+        n % n_chunks or (use_kernel and (n // n_chunks) % 128)
+    ):
+        n_chunks -= 1
     step = n // n_chunks
     outs = []
     for c in range(n_chunks):
         qt_c = QuantizedTensor(
-            codes=sq.codes[0][:, c * step : (c + 1) * step]
-            if sq.bits != 4
-            else sq.codes[0][:, c * step : (c + 1) * step],
+            codes=sq.codes[0][:, c * step : (c + 1) * step],
             scale=sq.scale[0][:, c * step : (c + 1) * step],
             zero_point=None,
             bits=sq.bits,

@@ -106,7 +106,8 @@ def quantize_model(
                     "pass calib_batches= or stats="
                 )
             act_ranges[name] = calib.reduce_range(
-                stats[name], cfg.calibration, bits=8
+                stats[name], cfg.calibration, bits=8,
+                percentile=cfg.percentile,
             )
             act_bits[name] = 8
         return qleaf

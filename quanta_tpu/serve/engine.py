@@ -132,9 +132,11 @@ class Engine:
         pipeline: bool = True,
         pipeline_depth: int = 2,
         multi_step: int = 1,
+        arch: str = "llama",
     ):
         self.params = params
         self.cfg = cfg
+        self.arch = arch  # serving architecture (runner.ARCHS key)
         self.n_slots = n_slots
         self.page_size = page_size
         # top_k: engine-wide static truncation applied to every request.
@@ -310,6 +312,7 @@ class Engine:
             jnp.int32(prompt_len),
             self.cfg,
             use_kernel=self.use_kernel,
+            arch=self.arch,
         )
         pages = self.alloc.alloc(n_keep)
         n_bucket_pages = self._pages_needed(bucket)
@@ -530,6 +533,7 @@ class Engine:
                 use_kernel=self.use_kernel,
                 top_k=self.top_k,
                 max_top_k=self.max_top_k,
+                arch=self.arch,
             )
         )
         # admissions since the last dispatch ride along: their first
@@ -683,7 +687,7 @@ class Engine:
             for b in self.prefill_buckets:
                 logits, k_seq, v_seq = runner.prefill(
                     self.params, jnp.zeros((1, b), jnp.int32), jnp.int32(1),
-                    self.cfg, use_kernel=self.use_kernel,
+                    self.cfg, use_kernel=self.use_kernel, arch=self.arch,
                 )
                 self.pool = kvcache.write_prefill(
                     self.pool,
@@ -705,6 +709,7 @@ class Engine:
                 self.cfg, self.page_size, self.multi_step,
                 use_kernel=self.use_kernel,
                 top_k=self.top_k, max_top_k=self.max_top_k,
+                arch=self.arch,
             )
             if b >= max_width_need:
                 break

@@ -18,15 +18,117 @@ Two compiled programs (SURVEY.md §7 layer 6 "prefill/decode jit split"):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from quanta_tpu.models import llama
+from quanta_tpu.models import gpt2, llama
 from quanta_tpu.nn.linear import linear
 from quanta_tpu.serve import kvcache
+
+
+# ------------------------------------------------------- architecture hooks
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeArch:
+    """What the Engine needs from a model family (VERDICT r3 weak #8: the
+    runner hardcoded the Llama layer structure; now any decoder with a
+    per-layer KV cache serves through the same machinery).
+
+    forward/init_cache drive the bucketed prefill; embed / decode_layer /
+    final_logits are the per-token decode pieces that the generic window
+    program (decode_multi_step) stitches around its paged attention:
+    ``decode_layer(lp, h, q_pos, cfg, lin, attend)`` must call
+    ``attend(q, k_tok, v_tok)`` exactly once with this token's
+    (B, 1, heads, hd) projections and add its output back into ``h``.
+    """
+
+    forward: Callable
+    init_cache: Callable
+    embed: Callable  # (params, tokens (B,), q_pos (B,1), cfg) -> (B, 1, D)
+    decode_layer: Callable
+    final_logits: Callable  # (params, h, cfg, lin) -> (B, 1, V)
+
+
+def _llama_embed(params, tokens, q_pos, cfg):
+    return jnp.take(params["tok_emb"], tokens[:, None], axis=0).astype(
+        cfg.dtype
+    )
+
+
+def _llama_decode_layer(lp, h, q_pos, cfg, lin, attend):
+    b = h.shape[0]
+    x = llama.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
+    q = lin(x, lp["wq"]).reshape(b, 1, cfg.n_heads, cfg.head_dim)
+    k = lin(x, lp["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+    v = lin(x, lp["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.head_dim)
+    q = llama._rope(q, q_pos, cfg.rope_theta)
+    k = llama._rope(k, q_pos, cfg.rope_theta)
+    attn = attend(q, k, v)
+    h = h + lin(attn.reshape(b, 1, -1), lp["wo"])
+    x = llama.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+    gate = lin(x, lp["w_gate"])
+    up = lin(x, lp["w_up"])
+    return h + lin(
+        jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+        lp["w_down"],
+    )
+
+
+def _llama_final(params, h, cfg, lin):
+    h = llama.rms_norm(h, params["norm_f"], cfg.norm_eps)
+    if cfg.tie_embeddings:
+        return lin(h, params["tok_emb"].T)
+    return lin(h, params["lm_head"])
+
+
+def _gpt2_embed(params, tokens, q_pos, cfg):
+    h = jnp.take(params["wte"], tokens[:, None], axis=0)
+    return (h + jnp.take(params["wpe"], q_pos, axis=0)).astype(cfg.dtype)
+
+
+def _gpt2_decode_layer(lp, h, q_pos, cfg, lin, attend):
+    b = h.shape[0]
+    nh, hd = cfg.n_heads, cfg.head_dim
+    x = gpt2.layer_norm(h, lp["ln_1"], cfg.norm_eps)
+    qkv = lin(x, lp["attn_qkv"]["w"], lp["attn_qkv"]["b"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    attn = attend(
+        q.reshape(b, 1, nh, hd), k.reshape(b, 1, nh, hd),
+        v.reshape(b, 1, nh, hd),
+    )
+    h = h + lin(attn.reshape(b, 1, -1), lp["attn_out"]["w"],
+                lp["attn_out"]["b"])
+    x = gpt2.layer_norm(h, lp["ln_2"], cfg.norm_eps)
+    x = gpt2._gelu_new(lin(x, lp["mlp_fc"]["w"], lp["mlp_fc"]["b"]))
+    return h + lin(x, lp["mlp_out"]["w"], lp["mlp_out"]["b"])
+
+
+def _gpt2_final(params, h, cfg, lin):
+    h = gpt2.layer_norm(h, params["ln_f"], cfg.norm_eps)
+    return lin(h, params["wte"].T)  # tied head
+
+
+ARCHS = {
+    "llama": ServeArch(
+        forward=llama.forward,
+        init_cache=llama.init_cache,
+        embed=_llama_embed,
+        decode_layer=_llama_decode_layer,
+        final_logits=_llama_final,
+    ),
+    "gpt2": ServeArch(
+        forward=gpt2.forward,
+        init_cache=gpt2.init_cache,
+        embed=_gpt2_embed,
+        decode_layer=_gpt2_decode_layer,
+        final_logits=_gpt2_final,
+    ),
+}
 
 
 def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:
@@ -36,16 +138,18 @@ def pick_bucket(n: int, buckets: Tuple[int, ...]) -> int:
     raise ValueError(f"prompt of {n} tokens exceeds largest bucket {buckets[-1]}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_kernel"))
-def prefill(params, tokens: jax.Array, length: jax.Array, cfg, use_kernel=None):
+@partial(jax.jit, static_argnames=("cfg", "use_kernel", "arch"))
+def prefill(params, tokens: jax.Array, length: jax.Array, cfg,
+            use_kernel=None, arch: str = "llama"):
     """Prefill one request.
 
     tokens: (1, S_bucket) int32, zero-padded past ``length``.
     Returns (last_logits (V,), k_seq, v_seq) with k/v (L, S_bucket, nkv, hd);
     positions >= length hold garbage KV — the engine masks them by seq_len.
     """
-    cache = llama.init_cache(cfg, 1, max_len=tokens.shape[1])
-    logits, cache = llama.forward(
+    a = ARCHS[arch]
+    cache = a.init_cache(cfg, 1, max_len=tokens.shape[1])
+    logits, cache = a.forward(
         params, tokens, cfg, cache=cache, use_kernel=use_kernel
     )
     last = jnp.take_along_axis(
@@ -217,7 +321,7 @@ def _attention_pool_side(q, k_pool, v_pool, pool_mask, k_side, v_side,
 @partial(
     jax.jit,
     static_argnames=("cfg", "page_size", "n_steps", "use_kernel", "top_k",
-                     "max_top_k"),
+                     "max_top_k", "arch"),
     donate_argnums=(1,),
 )
 def decode_multi_step(
@@ -235,6 +339,7 @@ def decode_multi_step(
     use_kernel=None,
     top_k: int = 0,
     max_top_k: int = 0,
+    arch: str = "llama",
 ):
     """``n_steps`` fused decode+sample steps in ONE device program.
 
@@ -308,42 +413,27 @@ def decode_multi_step(
     side_shape = (n_layers, b, n_steps, nkv, hd)
     step_iota = jnp.arange(n_steps, dtype=jnp.int32)
 
+    a = ARCHS[arch]
+
     def step_fn(carry, t):
         tokens, key, side_k, side_v = carry
         side_mask = step_iota <= t
-        h = jnp.take(params["tok_emb"], tokens[:, None], axis=0).astype(
-            cfg.dtype
-        )
         q_pos = (pos_safe + t)[:, None]
+        h = a.embed(params, tokens, q_pos, cfg)
         for i, lp in enumerate(params["layers"]):
-            x = llama.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
-            q = lin(x, lp["wq"]).reshape(b, 1, cfg.n_heads, hd)
-            kk = lin(x, lp["wk"]).reshape(b, 1, nkv, hd)
-            vv = lin(x, lp["wv"]).reshape(b, 1, nkv, hd)
-            q = llama._rope(q, q_pos, cfg.rope_theta)
-            kk = llama._rope(kk, q_pos, cfg.rope_theta)
-            side_k = jax.lax.dynamic_update_slice(
-                side_k, kk[None], (i, 0, t, 0, 0))
-            side_v = jax.lax.dynamic_update_slice(
-                side_v, vv[None], (i, 0, t, 0, 0))
-            attn = _attention_pool_side(
-                q, k_pool[i], v_pool[i], pool_mask,
-                side_k[i], side_v[i], side_mask, cfg,
-            )
-            h = h + lin(attn.reshape(b, 1, -1), lp["wo"])
-            x = llama.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-            gate = lin(x, lp["w_gate"])
-            up = lin(x, lp["w_up"])
-            h = h + lin(
-                jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
-                lp["w_down"],
-            )
-        h = llama.rms_norm(h, params["norm_f"], cfg.norm_eps)
-        if cfg.tie_embeddings:
-            logits = lin(h, params["tok_emb"].T)
-        else:
-            logits = lin(h, params["lm_head"])
-        logits = logits[:, 0].astype(jnp.float32)
+            def attend(q, kk, vv, i=i):
+                nonlocal side_k, side_v
+                side_k = jax.lax.dynamic_update_slice(
+                    side_k, kk[None], (i, 0, t, 0, 0))
+                side_v = jax.lax.dynamic_update_slice(
+                    side_v, vv[None], (i, 0, t, 0, 0))
+                return _attention_pool_side(
+                    q, k_pool[i], v_pool[i], pool_mask,
+                    side_k[i], side_v[i], side_mask, cfg,
+                )
+
+            h = a.decode_layer(lp, h, q_pos, cfg, lin, attend)
+        logits = a.final_logits(params, h, cfg, lin)[:, 0].astype(jnp.float32)
 
         key, sub = jax.random.split(key)
         if max_top_k > 0:

@@ -36,6 +36,9 @@ class QuantConfig:
     pack: bool = False  # pack 4-bit codes two-per-byte
     weights_only: bool = True  # False adds activation fake-quant
     calibration: str = "minmax"  # minmax | entropy | percentile
+    # clip percentiles for calibration="percentile" (the reference pinned
+    # 1-99, functional/model.py:176-193; here it is configuration)
+    percentile: tuple = (0.1, 99.9)
 
     def __post_init__(self):
         if self.bits not in (4, 8):
@@ -46,6 +49,9 @@ class QuantConfig:
             raise ValueError(f"calibration must be one of {_VALID_CALIBRATION}")
         if self.pack and self.bits != 4:
             raise ValueError("pack=True requires bits=4")
+        self.percentile = tuple(self.percentile)  # JSON round trip -> list
+        if not (0.0 <= self.percentile[0] < self.percentile[1] <= 100.0):
+            raise ValueError(f"bad percentile bounds {self.percentile}")
 
     def replace(self, **kw) -> "QuantConfig":
         return dataclasses.replace(self, **kw)

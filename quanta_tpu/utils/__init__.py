@@ -7,6 +7,8 @@ from quanta_tpu.utils.convert import (
     convert_8bit_to_4bit,
     convert_precision,
     optimize_for_target_hardware,
+    transcode_codebook,
+    transcode_params,
 )
 from quanta_tpu.utils.serialization import (
     load_checkpoint,
@@ -26,6 +28,8 @@ __all__ = [
     "convert_8bit_to_4bit",
     "convert_4bit_to_8bit",
     "optimize_for_target_hardware",
+    "transcode_codebook",
+    "transcode_params",
     "HARDWARE_TARGETS",
     "save_qtn",
     "load_qtn",

@@ -9,9 +9,15 @@ QuantizedTensor under the target settings. The hardware-target table
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from quanta_tpu.core import QuantizedTensor, dequantize, quantize
+from quanta_tpu.core import codebooks as _cb
 from quanta_tpu.state.config import QuantConfig
 
 
@@ -46,6 +52,64 @@ def convert_precision(
         codebook=new_codebook,
         block_size=new_block,
         pack=new_pack,
+    )
+
+
+def transcode_codebook(
+    qt: QuantizedTensor, target: str = "nf4a"
+) -> QuantizedTensor:
+    """Deterministic same-bit-width codebook remap, e.g. exact-NF4 ->
+    arithmetic nf4a, WITHOUT an fp round trip.
+
+    Both codebooks are absmax-normalized, so the per-block scales carry
+    over unchanged and the transcode is a pure 16-entry code lookup: each
+    source code maps to the nearest target level of its source level —
+    exactly what dequantize->requantize at the same block size would
+    produce, but O(bytes) and valid on packed matmul-layout tensors.
+
+    Why: checkpoints quantized by bitsandbytes/QLoRA arrive as exact NF4
+    (/root/reference/Quanta/functional/quantization.py:105-110), whose
+    16-entry table dequant is VPU-floor-bound on TPU (0.64x bf16 decode,
+    BENCH_r03); nf4a dequantizes in 3 fused multiply-adds (1.19x bf16).
+    This converter lets imported NF4 checkpoints opt into nf4a-speed
+    serving; the added quantization error is one extra nearest-level
+    rounding, measured in the accuracy bench (docs/ACCURACY.md).
+    """
+    if qt.codebook is None:
+        raise ValueError("transcode_codebook needs a codebook-format tensor")
+    for name in (qt.codebook, target):
+        if name not in _cb.codebook_names():
+            raise ValueError(f"unknown codebook {name!r}")
+    src = np.asarray(_cb._REGISTRY[qt.codebook], np.float32)
+    dst = np.asarray(_cb._REGISTRY[target], np.float32)
+    if len(src) != len(dst):
+        raise ValueError(
+            f"codebook sizes differ: {qt.codebook}={len(src)} vs "
+            f"{target}={len(dst)}"
+        )
+    remap = np.argmin(np.abs(dst[None, :] - src[:, None]), axis=1)
+    remap = jnp.asarray(remap.astype(np.uint8))
+    if qt.bits == 4:  # packed nibbles (split_k or flat: remap each half)
+        lo = jnp.take(remap, (qt.codes & 0x0F).astype(jnp.int32))
+        hi = jnp.take(remap, (qt.codes >> 4).astype(jnp.int32))
+        codes = (lo | (hi << 4)).astype(jnp.uint8)
+    else:
+        codes = jnp.take(remap, qt.codes.astype(jnp.int32)).astype(jnp.uint8)
+    return dataclasses.replace(qt, codes=codes, codebook=target)
+
+
+def transcode_params(params, target: str = "nf4a", source: str = "nf4"):
+    """Pytree version: remap every ``source``-codebook QuantizedTensor
+    leaf to ``target`` (the load-time path for imported QLoRA/NF4
+    checkpoints; see ``transcode_codebook``)."""
+
+    def conv(leaf):
+        if isinstance(leaf, QuantizedTensor) and leaf.codebook == source:
+            return transcode_codebook(leaf, target)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        conv, params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
     )
 
 

@@ -178,3 +178,66 @@ def test_qtensor_is_pytree():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(core.dequantize_matmul_weight(qt)), rtol=1e-6
     )
+
+
+# ------------------------------------------------- quantized elementwise ops
+# (reference parity: /root/reference/Quanta/functional/tensor_ops.py:64-105)
+
+
+def test_quantized_add_mul_matmul():
+    from quanta_tpu.core import (quantize, dequantize, quantized_add,
+                                 quantized_matmul, quantized_mul)
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (32, 64), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (32, 64), jnp.float32)
+    qa = quantize(a, bits=8, scheme="symmetric", block_size=32)
+    qb = quantize(b, bits=8, scheme="symmetric", block_size=32)
+
+    for op, ref in ((quantized_add, a + b), (quantized_mul, a * b)):
+        out = op(qa, qb)
+        assert out.bits == 8 and out.scheme == "symmetric"
+        tol = float(jnp.abs(ref).max()) / 60  # two int8 round trips
+        np.testing.assert_allclose(np.asarray(dequantize(out)),
+                                   np.asarray(ref), atol=tol)
+
+    # mixed operand: plain array + QuantizedTensor takes the QT's params
+    out = quantized_add(a, qb)
+    assert out.bits == 8
+    # matmul requantizes the product
+    qm = quantized_matmul(qa, quantize(b.T, bits=8, block_size=32))
+    ref = a @ b.T
+    assert qm.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qm)), np.asarray(ref),
+        atol=float(jnp.abs(ref).max()) / 40,
+    )
+    with pytest.raises(TypeError):
+        quantized_add(a, b)
+
+
+def test_quantized_relu_exact_paths():
+    from quanta_tpu.core import dequantize, quantize, quantized_relu
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 32), jnp.float32)
+    # symmetric: code-level clamp, EXACT (no requantization error)
+    qs = quantize(x, bits=8, scheme="symmetric", block_size=32)
+    r = quantized_relu(qs)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(r)),
+        np.asarray(jnp.maximum(dequantize(qs), 0.0)),
+    )
+    # codebook with an exact 0 level (nf4): negative levels -> code of 0
+    qc = quantize(x, bits=4, scheme="codebook", codebook="nf4", block_size=32)
+    rc = quantized_relu(qc)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(rc)),
+        np.asarray(jnp.maximum(dequantize(qc), 0.0)),
+    )
+    # affine falls back to requantization: still close to fp relu
+    qaf = quantize(x, bits=8, scheme="affine", block_size=32)
+    raf = quantized_relu(qaf)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(raf)),
+        np.asarray(jnp.maximum(x, 0.0)),
+        atol=float(jnp.abs(x).max()) / 50,
+    )

@@ -77,3 +77,67 @@ def test_jit_grad_through_dequant():
     wd = core.dequantize_matmul_weight(qt)
     g_ref = 2.0 * (x @ wd) @ wd.T
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-2)
+
+
+# ------------------------------------------------------- LLM.int8 kernel
+
+
+def _setup_int8(m=8, k=300, n=200, seed=0, outliers=True):
+    from quanta_tpu.ops import int8mm
+
+    rng = jax.random.PRNGKey(seed)
+    kx, kw, ko = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.05
+    if outliers:
+        # systematic outlier features: large activations in a few columns
+        hot = jax.random.choice(ko, k, (5,), replace=False)
+        x = x.at[:, hot].multiply(40.0)
+    qw = int8mm.quantize_int8_weight(w, outlier_capacity=16)
+    return x, w, qw
+
+
+@pytest.mark.parametrize("shape", [(8, 300, 200), (48, 512, 384),
+                                   (1, 128, 128)])
+def test_int8_kernel_matches_xla_path(shape):
+    """The fused Pallas int8-MXU kernel must reproduce the pure-XLA
+    LLM.int8 path (same quantized operands, same scales) to float
+    round-off, including unpadded K/N and M < the 32-row int8 tile."""
+    from quanta_tpu.ops import int8mm
+
+    m, k, n = shape
+    x, _, qw = _setup_int8(m=m, k=k, n=n)
+    ref = int8mm.matmul_int8(x, qw, use_kernel=False)
+    out = int8mm.matmul_int8(x, qw, use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int8_kernel_through_linear_dispatch():
+    """linear() routes Int8Weight through the kernel when use_kernel is
+    set; outputs track the dense matmul (quantization error only)."""
+    from quanta_tpu.nn.linear import linear
+
+    x, w, qw = _setup_int8(m=16, k=256, n=192)
+    dense = np.asarray(x @ w)
+    out = np.asarray(linear(x, qw, use_kernel=True, interpret=True))
+    err = np.abs(out - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert err < 0.05, err
+
+
+def test_int8_weight_padding_round_trip():
+    """Padded codes/scales (kernel tiles) must not leak into the dense
+    reconstruction or the logical output shape."""
+    from quanta_tpu.nn.linear import dequantize_params
+    from quanta_tpu.ops import int8mm
+
+    x, w, qw = _setup_int8(m=4, k=130, n=70)
+    assert qw.codes.shape == (256, 128) and qw.shape == (130, 70)
+    dense = dequantize_params({"w": qw})["w"]
+    assert dense.shape == (130, 70)
+    # outlier rows restored exactly; inliers to int8 precision
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(w), atol=np.abs(np.asarray(w)).max() / 100
+    )
+    out = int8mm.matmul_int8(x, qw, use_kernel=False)
+    assert out.shape == (4, 70)

@@ -293,3 +293,55 @@ def test_checkpoint_unsupported_leaf_raises(tmp_path):
 
     with pytest.raises(TypeError, match="unsupported type"):
         qutils.save_checkpoint({"w": Weird()}, str(tmp_path / "bad.npz"))
+
+
+def test_transcode_codebook_nf4_to_nf4a():
+    """Load-time transcode for imported QLoRA checkpoints: pure code
+    remap, scales preserved, semantically identical to dequant->requant
+    at the same block size (VERDICT r3 missing #4)."""
+    import dataclasses
+
+    from quanta_tpu import core
+    from quanta_tpu.core import codecs
+    from quanta_tpu.utils import transcode_codebook, transcode_params
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (256, 128), jnp.float32)
+    qt = core.quantize_matmul_weight(w, fmt="nf4", block_size=64)
+    tq = transcode_codebook(qt)
+    assert tq.codebook == "nf4a"
+    assert tq.codes.dtype == jnp.uint8 and tq.codes.shape == qt.codes.shape
+    np.testing.assert_array_equal(np.asarray(tq.scale), np.asarray(qt.scale))
+
+    # oracle: requantizing the dequantized nf4 values directly to nf4a
+    d_nf4 = codecs.dequantize_matmul_weight(qt)
+    rt = core.quantize_matmul_weight(d_nf4, fmt="nf4a", block_size=64)
+    np.testing.assert_allclose(
+        np.asarray(codecs.dequantize_matmul_weight(tq)),
+        np.asarray(codecs.dequantize_matmul_weight(rt)),
+        atol=1e-6,
+    )
+
+    # pytree version only touches nf4 leaves
+    tree = {"a": qt, "b": jnp.ones((4,)),
+            "c": core.quantize_matmul_weight(w, fmt="int4", block_size=64)}
+    out = transcode_params(tree)
+    assert out["a"].codebook == "nf4a"
+    assert out["c"].codebook == "int4"
+
+    # error cases
+    import pytest as _pytest
+    sym8 = core.quantize_matmul_weight(w, fmt="int8", block_size=64)
+    qt8 = dataclasses.replace(sym8, codebook=None)
+    with _pytest.raises(ValueError, match="codebook"):
+        transcode_codebook(qt8)
+
+
+def test_transcode_unpacked_8bit():
+    """8-bit codebook tensors transcode through the plain-code path."""
+    from quanta_tpu import core
+    from quanta_tpu.utils import transcode_codebook
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (128, 64), jnp.float32)
+    qt = core.quantize_matmul_weight(w, fmt="nf8", block_size=64)
+    tq = transcode_codebook(qt, target="fp8")
+    assert tq.codebook == "fp8" and tq.codes.shape == qt.codes.shape
