@@ -158,6 +158,15 @@ def matmul_int8_kernel(
     m, k_dim = xq.shape
     kw, n = codes.shape
     assert k_dim == kw, (k_dim, kw)
+    if m <= 16 and tn == 0 and tk == 0:
+        # measured decode tiles (benchmarks/tile_sweep.py, v5e):
+        # gate/up 23.4 -> 17.7 us with (512, 1024); down prefers narrow N
+        tn, tk = {
+            (2048, 2048): (512, 1024),
+            (2048, 5632): (512, 1024),
+            (5632, 2048): (256, 512),
+            (2048, 32000): (256, 2048),
+        }.get((kw, n), (0, 0))
     tm = min(tm, _round_up(m, 32))  # int8 min sublane tile is 32
     tn = tn or (512 if n % 512 == 0 else 256 if n % 256 == 0 else 128)
     tk = tk or min(kw, 2048)

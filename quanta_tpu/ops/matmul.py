@@ -120,6 +120,30 @@ def _pick_tile_n(n: int) -> int:
     raise ValueError(f"N={n} is not a multiple of 128 (quantizer pads N)")
 
 
+# Decode-shape (M <= 16) tile overrides, measured on v5e by
+# benchmarks/tile_sweep.py (streaming-weights harness): (bits, K, N) ->
+# (tn, tk). Covers the TinyLlama serving projections; other shapes use
+# the heuristics. Gains vs heuristic tiles: int8 down 41.8 -> 15.2 us,
+# int8 lm_head 179 -> 122 us, nf4a down 39.5 -> 24.7 us.
+_TUNED_DECODE_TILES = {
+    (4, 2048, 2048): (512, 1024),
+    (4, 2048, 5632): (512, 0),
+    (4, 5632, 2048): (256, 2048),
+    (4, 2048, 32000): (256, 2048),
+    (8, 2048, 2048): (256, 2048),
+    (8, 2048, 5632): (512, 1024),
+    (8, 5632, 2048): (256, 4096),
+    (8, 2048, 32000): (256, 4096),
+}
+
+
+def _tuned_tiles(bits: int, m: int, k: int, n: int, tn: int, tk: int):
+    """Apply the measured decode-tile table when the caller didn't pick."""
+    if m <= 16 and tn == 0 and tk == 0:
+        return _TUNED_DECODE_TILES.get((bits, k, n), (tn, tk))
+    return tn, tk
+
+
 def _pick_tile_k(k_rows: int, unit: int, cap: int) -> int:
     """Largest multiple of ``unit`` that divides k_rows, at most ``cap``."""
     best = unit
@@ -198,6 +222,7 @@ def matmul_4bit(
         raise ValueError(f"x K={k_dim} > packed K={2 * k2}")
     out_dtype = out_dtype or x.dtype
 
+    tn, tk = _tuned_tiles(4, m, 2 * k2, n, tn, tk)
     unit = 8 * block
     tm = min(tm, _round_up(m, 16))
     tn = tn or _pick_tile_n(n)
@@ -297,6 +322,7 @@ def matmul_8bit(
         raise ValueError(f"x K={k_dim} > codes K={kw}")
     out_dtype = out_dtype or x.dtype
 
+    tn, tk = _tuned_tiles(8, m, kw, n, tn, tk)
     unit = 8 * block
     tm = min(tm, _round_up(m, 16))
     tn = tn or _pick_tile_n(n)
