@@ -145,6 +145,47 @@ def main():
             f"prefill {r['prefill_tok_s_chip']:9.1f} tok/s/chip | "
             f"ttft {r['ttft_ms']:6.2f} ms (batch={batch}, len={prefill_len})")
 
+    # long-context prefill: the flash-attention kernel vs the XLA
+    # attention path at S=2048 (scores-in-VMEM; ops/attention.py)
+    try:
+        import time as _time
+
+        def long_prefill(use_flash, S=2048, B=2, L=3, reps=3):
+            @jax.jit
+            def loop(params, seed):
+                toks = jnp.zeros((B, S), jnp.int32)
+
+                def body(acc, _):
+                    from quanta_tpu.models import llama as _llama
+
+                    lg, _ = _llama.forward(
+                        params, toks + (acc.astype(jnp.int32) % 2), cfg,
+                        use_flash=use_flash,
+                    )
+                    return (lg[:, -1, :].sum() * 1e-30).astype(jnp.float32), None
+
+                acc, _ = jax.lax.scan(body, seed, None, length=L)
+                return acc
+
+            np.asarray(loop(dense, jnp.float32(0)))
+            best = 1e9
+            for r in range(reps):
+                t0 = _time.perf_counter()
+                np.asarray(loop(dense, jnp.float32(r + 1)))
+                best = min(best, _time.perf_counter() - t0)
+            return best / L
+
+        t_xla, t_fl = long_prefill(False), long_prefill(True)
+        results["long_prefill_s2048"] = {
+            "xla_tok_s_chip": round(2 * 2048 / t_xla, 1),
+            "flash_tok_s_chip": round(2 * 2048 / t_fl, 1),
+            "flash_speedup": round(t_xla / t_fl, 3),
+        }
+        log(f"long prefill S=2048: xla {2*2048/t_xla:8.1f} tok/s | "
+            f"flash {2*2048/t_fl:8.1f} tok/s ({t_xla/t_fl:.2f}x)")
+    except Exception as e:
+        log(f"long-prefill bench failed: {type(e).__name__}: {e}")
+
     # serving-engine measurement (north-star config 3 protocol): the
     # continuous-batching Engine under a Poisson trace, end to end —
     # not just the raw scan loop. Engine TTFT/throughput land in extra.

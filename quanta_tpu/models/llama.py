@@ -174,6 +174,7 @@ def forward(
     cache: Optional[dict] = None,
     *,
     use_kernel=None,
+    use_flash: Optional[bool] = None,
     interpret: bool = False,
 ):
     """Run the decoder.
@@ -182,10 +183,22 @@ def forward(
     scoring). With a cache: tokens are appended at ``cache['pos']`` and an
     updated cache is returned (prefill when S>1, decode when S==1).
 
+    use_flash routes multi-token attention through the fused Pallas
+    flash-attention kernel (ops/attention.py) — scores never materialize
+    in HBM, which is what makes long-context prefill scale. Default
+    (None): the kernel on TPU when S >= 1024, where it measures 1.3-1.5x
+    faster than the XLA attention path end-to-end (below that XLA's
+    materialized-score attention is already compute-bound and slightly
+    ahead); the XLA path (the oracle) elsewhere and for single-token
+    decode.
+
     Returns (logits (B, S, V), new_cache | None).
     """
     b, s = tokens.shape
     lin = partial(linear, use_kernel=use_kernel, interpret=interpret)
+    if use_flash is None:
+        use_flash = s >= 1024 and jax.default_backend() == "tpu"
+    use_flash = use_flash and s > 1
     h = jnp.take(params["tok_emb"], tokens, axis=0).astype(cfg.dtype)
 
     if cache is not None:
@@ -196,6 +209,7 @@ def forward(
         t = cache["k"].shape[2]
         kv_positions = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
         kv_len_mask = kv_positions < (start[:, None] + s)
+        q_start, kv_len = start, start + s
         # carry the stacked cache arrays and update layer slices in place
         # (.at[i].set on a carried buffer; a per-layer list + jnp.stack
         # would copy the whole cache every step)
@@ -203,6 +217,16 @@ def forward(
     else:
         q_positions = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
         kv_len_mask = jnp.ones((b, s), bool)
+        q_start = jnp.zeros((b,), jnp.int32)
+        kv_len = jnp.full((b,), s, jnp.int32)
+
+    def attend(q, k_all, v_all):
+        if use_flash:
+            from quanta_tpu.ops.attention import flash_attention
+
+            return flash_attention(q, k_all, v_all, q_start, kv_len,
+                                   interpret=interpret)
+        return _attention(q, k_all, v_all, q_positions, kv_len_mask, cfg)
 
     for i, lp in enumerate(params["layers"]):
         x = rms_norm(h, lp["attn_norm"], cfg.norm_eps)
@@ -226,9 +250,9 @@ def forward(
             v_all = upd(v_cache[i], v)
             k_cache = k_cache.at[i].set(k_all)
             v_cache = v_cache.at[i].set(v_all)
-            attn = _attention(q, k_all, v_all, q_positions, kv_len_mask, cfg)
+            attn = attend(q, k_all, v_all)
         else:
-            attn = _attention(q, k, v, q_positions, kv_len_mask, cfg)
+            attn = attend(q, k, v)
 
         h = h + lin(attn.reshape(b, s, -1), lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
