@@ -224,6 +224,85 @@ def quantize_params(
     )
 
 
+def init_quantized_params(rng, cfg, *, mode: str = "nf4a",
+                          block_size: int = 64):
+    """Random-init a Llama param tree DIRECTLY in quantized form — codes
+    and scales are drawn without ever materializing the dense bf16 tree.
+
+    Why: benchmarking north-star model sizes on one chip. A dense
+    Llama-2-7B init is ~13.5 GB bf16 and cannot coexist with its own
+    quantized copy in 16 GB of HBM; random codes + calibrated-looking
+    scales measure identical throughput (decode cost depends on shapes
+    and formats, not weight values).
+    """
+    import dataclasses as _dc
+    import math as _math
+
+    from quanta_tpu.core import codecs
+
+    def quantize_shape(key, shape):
+        k, n = shape
+        # template carries the format's static metadata; codes/scales are
+        # drawn at the real (padded) layout the quantizer would produce
+        # (K_pad % 16*block == 0, N_pad % 128 == 0; see ops/matmul.py)
+        template = codecs.quantize_matmul_weight(
+            jnp.zeros((16 * block_size, 128), jnp.float32),
+            fmt=mode, block_size=block_size,
+        )
+        k_pad = -(-k // (16 * block_size)) * (16 * block_size)
+        n_pad = -(-n // 128) * 128
+        kc, ks = jax.random.split(key)
+        if template.packed == "split_k":
+            codes = jax.random.randint(
+                kc, (k_pad // 2, n_pad), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+        elif template.codes.dtype == jnp.int8:
+            codes = jax.random.randint(
+                kc, (k_pad, n_pad), -127, 128, jnp.int32
+            ).astype(jnp.int8)
+        else:
+            codes = jax.random.randint(
+                kc, (k_pad, n_pad), 0, 256, jnp.int32
+            ).astype(jnp.uint8)
+        scale = (
+            jax.random.uniform(ks, (k_pad // block_size, n_pad), jnp.float32)
+            * (1.0 / _math.sqrt(k))
+            + 1e-4
+        )
+        return _dc.replace(
+            template, codes=codes, scale=scale, shape=(k, n),
+            dtype=jnp.dtype(jnp.bfloat16),
+        )
+
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    keys = iter(jax.random.split(rng, 4 + 7 * cfg.n_layers))
+    emb_scale = 0.02
+    params = {
+        "tok_emb": (jax.random.normal(
+            next(keys), (cfg.vocab_size, cfg.dim), jnp.float32
+        ) * emb_scale).astype(cfg.dtype),
+        "norm_f": jnp.ones((cfg.dim,), cfg.dtype),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.dim,), cfg.dtype),
+            "wq": quantize_shape(next(keys), (cfg.dim, nh * hd)),
+            "wk": quantize_shape(next(keys), (cfg.dim, nkv * hd)),
+            "wv": quantize_shape(next(keys), (cfg.dim, nkv * hd)),
+            "wo": quantize_shape(next(keys), (nh * hd, cfg.dim)),
+            "ffn_norm": jnp.ones((cfg.dim,), cfg.dtype),
+            "w_gate": quantize_shape(next(keys), (cfg.dim, cfg.hidden_dim)),
+            "w_up": quantize_shape(next(keys), (cfg.dim, cfg.hidden_dim)),
+            "w_down": quantize_shape(next(keys), (cfg.hidden_dim, cfg.dim)),
+        })
+    if not cfg.tie_embeddings:
+        params["lm_head"] = quantize_shape(
+            next(keys), (cfg.dim, cfg.vocab_size)
+        )
+    return params
+
+
 def dequantize_params(params):
     """Inverse transformation: materialize dense weights from quantized."""
 

@@ -125,3 +125,47 @@ def test_lora_roundtrip_and_grad():
         np.asarray(codecs.dequantize_matmul_weight(base)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_init_quantized_params_matches_layout():
+    """Direct-quantized init (model-scale benching) produces leaves with
+    exactly the layout quantize_params would: the forward runs through
+    the same kernels with no shape/padding surprises."""
+    from quanta_tpu import nn as qnn
+    from quanta_tpu.models import llama
+    from quanta_tpu.nn.linear import init_quantized_params
+
+    cfg = llama.LlamaConfig.tiny()
+    direct = init_quantized_params(jax.random.PRNGKey(0), cfg, mode="nf4a",
+                                   block_size=32)
+    dense = llama.init_params(jax.random.PRNGKey(0), cfg)
+    viaq = qnn.quantize_params(dense, mode="nf4a", block_size=32, min_size=0)
+    for name in ("wq", "wo", "w_gate", "w_down"):
+        a = direct["layers"][0][name]
+        b = viaq["layers"][0][name]
+        assert a.codes.shape == b.codes.shape, name
+        assert a.scale.shape == b.scale.shape, name
+        assert a.codes.dtype == b.codes.dtype, name
+        assert (a.packed, a.bits, a.codebook, a.shape) == (
+            b.packed, b.bits, b.codebook, b.shape), name
+    logits, _ = llama.forward(direct, jnp.zeros((2, 8), jnp.int32), cfg,
+                              use_kernel=False)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # kernel path (interpret) agrees with the XLA oracle on these leaves
+    logits_k, _ = llama.forward(direct, jnp.zeros((2, 8), jnp.int32), cfg,
+                                use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_init_quantized_params_int8():
+    from quanta_tpu.models import llama
+    from quanta_tpu.nn.linear import init_quantized_params
+
+    cfg = llama.LlamaConfig.tiny()
+    p = init_quantized_params(jax.random.PRNGKey(1), cfg, mode="int8",
+                              block_size=32)
+    assert p["layers"][0]["wq"].codes.dtype == jnp.int8
+    logits, _ = llama.forward(p, jnp.zeros((1, 4), jnp.int32), cfg,
+                              use_kernel=False)
+    assert bool(jnp.all(jnp.isfinite(logits)))
