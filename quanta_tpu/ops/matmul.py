@@ -121,19 +121,26 @@ def _pick_tile_n(n: int) -> int:
 
 
 # Decode-shape (M <= 16) tile overrides, measured on v5e by
-# benchmarks/tile_sweep.py (streaming-weights harness): (bits, K, N) ->
-# (tn, tk). Covers the TinyLlama serving projections; other shapes use
-# the heuristics. Gains vs heuristic tiles: int8 down 41.8 -> 15.2 us,
-# int8 lm_head 179 -> 122 us, nf4a down 39.5 -> 24.7 us.
+# benchmarks/tile_sweep.py (streaming-weights harness): (bits, K_pad,
+# N_pad) -> (tn, tk), keyed on the PADDED dims the kernel actually sees
+# (the quantizer pads K to 16*block and N to 128 — e.g. TinyLlama's
+# down 5632 arrives as 6144). Covers the TinyLlama + Llama-2-7B serving
+# projections; other shapes use the heuristics. Gains vs heuristic
+# tiles: int8 lm_head 179 -> 122 us, nf4a down 39.5 -> 24.7 us, int4
+# qkv 16.1 -> 6.8 us.
 _TUNED_DECODE_TILES = {
     (4, 2048, 2048): (512, 1024),
     (4, 2048, 5632): (512, 0),
-    (4, 5632, 2048): (256, 2048),
+    (4, 6144, 2048): (256, 2048),   # down (K 5632 padded)
     (4, 2048, 32000): (256, 2048),
     (8, 2048, 2048): (256, 2048),
     (8, 2048, 5632): (512, 1024),
-    (8, 5632, 2048): (256, 4096),
+    (8, 6144, 2048): (256, 4096),   # down (K 5632 padded)
     (8, 2048, 32000): (256, 4096),
+    # Llama-2-7B projections (4-11% over the heuristics)
+    (4, 4096, 4096): (512, 4096),
+    (4, 4096, 11008): (256, 2048),
+    (4, 11264, 4096): (512, 2048),  # down (K 11008 padded)
 }
 
 
