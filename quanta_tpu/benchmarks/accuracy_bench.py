@@ -118,7 +118,8 @@ def main():
             log(f"cached pretrained checkpoint -> {cache_path}")
 
     variants = {"bf16": params}
-    for fmt in ("int8", "nf8", "llm_int8", "nf4a", "nf4", "int4", "fp4"):
+    for fmt in ("int8", "nf8", "llm_int8", "nf4a", "nf4", "int4", "fp4",
+                "int4c"):
         variants[fmt] = qnn.quantize_params(
             params, mode=fmt, block_size=64, min_size=4096
         )
@@ -135,7 +136,7 @@ def main():
 
     gate = {"int8": 0.1, "nf8": 0.1, "llm_int8": 0.1,
             "nf4a": 0.5, "nf4": 0.5, "int4": 0.5, "fp4": 0.5,
-            "nf4->nf4a": 0.5}
+            "int4c": 0.5, "nf4->nf4a": 0.5}
     lines = [
         "# Accuracy: held-out perplexity per weight format",
         "",

@@ -129,6 +129,7 @@ def main():
         ("bf16", dense),
         ("nf4a", qnn.quantize_params(dense, mode="nf4a", block_size=64)),
         ("nf4", qnn.quantize_params(dense, mode="nf4", block_size=64)),
+        ("int4c", qnn.quantize_params(dense, mode="int4c", block_size=64)),
     ]:
         jax.block_until_ready(params)
         t_step = bench_decode(params, cfg, batch=batch,
@@ -235,6 +236,7 @@ def main():
     # metric name pinned since r2; both quantized/bf16 ratios at top level
     vs = results["nf4a"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
     vs_nf4 = results["nf4"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
+    vs_int4c = results["int4c"]["decode_tok_s_chip"] / results["bf16"]["decode_tok_s_chip"]
     print(
         json.dumps(
             {
@@ -244,6 +246,7 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "nf4a_vs_bf16": round(vs, 3),
                 "nf4_vs_bf16": round(vs_nf4, 3),
+                "int4c_vs_bf16": round(vs_int4c, 3),
                 "extra": results,
             }
         )

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from quanta_tpu.core import codecs
+from quanta_tpu.ops import int4c as int4c_mod
 from quanta_tpu.ops import int8mm
 from quanta_tpu.ops import matmul as mm
 from quanta_tpu.profiling import matmul_roofline
@@ -115,6 +116,7 @@ def main():
     ]
     fmts = ["nf4a", "nf4", "int4", "int8"]
     i8_variants = [("llm_int8", True), ("llm_int8(xla)", False)]
+    # int4c: 4-bit codes on the int8 MXU (per-column scales)
     block = 64
 
     lines = [
@@ -131,8 +133,8 @@ def main():
             f"## M = {M} ({'decode' if M <= 16 else 'prefill'} shape)",
             "",
             "| matmul (K x N) | dense bf16 | " + " | ".join(
-                fmts + [v[0] for v in i8_variants]) + " |",
-            "|---|---|" + "---|" * (len(fmts) + len(i8_variants)),
+                fmts + [v[0] for v in i8_variants] + ["int4c"]) + " |",
+            "|---|---|" + "---|" * (len(fmts) + len(i8_variants) + 1),
         ]
         for label, K, N in shapes:
             kx, kw = jax.random.split(jax.random.PRNGKey(K + N))
@@ -189,6 +191,21 @@ def main():
                 row.append(f"{mark}{t*1e6:.1f} us ({t_dense/t:.2f}x, "
                            f"{rl8.pct(t):.0f}%RL)")
             del ws8
+            q4c = int4c_mod.quantize_int4c_weight(w)
+            rl4c = matmul_roofline(M, K, N, weight_bits=4)
+            R4 = _replicas(q4c.codes.size)
+            ws4 = jnp.stack([q4c.codes] * R4)
+            jax.block_until_ready(ws4)
+
+            def op4c(a, wi, q4c=q4c):
+                q = dataclasses.replace(q4c, codes=wi)
+                return int4c_mod.matmul_int4c(a, q)
+
+            t, sus = slope_time(op4c, x, ws4, R4, rl4c.t_roofline_s)
+            del ws4
+            mark = "~" if sus else ""
+            row.append(f"{mark}{t*1e6:.1f} us ({t_dense/t:.2f}x, "
+                       f"{rl4c.pct(t):.0f}%RL)")
             line = f"| {label} {K}x{N} | " + " | ".join(row) + " |"
             lines.append(line)
             print(line, flush=True)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from quanta_tpu import calib
 from quanta_tpu.core import codecs
 from quanta_tpu.core.qtensor import QuantizedTensor
+from quanta_tpu.ops.int4c import Int4cWeight, matmul_int4c, quantize_int4c_weight
 from quanta_tpu.ops.int8mm import Int8Weight, matmul_int8, quantize_int8_weight
 from quanta_tpu.ops.matmul import matmul_quantized
 
@@ -65,6 +66,8 @@ def linear(
             y = x @ codecs.dequantize_matmul_weight(w).astype(x.dtype)
     elif isinstance(w, Int8Weight):
         y = matmul_int8(x, w, use_kernel=use_kernel, interpret=interpret)
+    elif isinstance(w, Int4cWeight):
+        y = matmul_int4c(x, w, use_kernel=use_kernel, interpret=interpret)
     elif type(w).__name__ == "LoRAWeight":  # avoid circular import
         from quanta_tpu.nn.lora import lora_linear
 
@@ -86,13 +89,17 @@ def quantize_linear_weight(
 ) -> WeightLike:
     """Convert a dense (in, out) weight into a quantized representation.
 
-    mode: "nf4"/"int4"/"fp4"/"int8"/"nf8"/"fp8" (fused-kernel formats) or
-    "llm_int8" (outlier-decomposition Int8Weight).
+    mode: "nf4"/"nf4a"/"int4"/"fp4"/"int8"/"nf8"/"fp8" (fused-kernel
+    formats), "llm_int8" (outlier-decomposition Int8Weight), or "int4c"
+    (4-bit weights on the int8 MXU, per-column scales — the fastest
+    4-bit serving format; ops/int4c.py).
     """
     if mode == "llm_int8":
         return quantize_int8_weight(
             w, threshold=threshold, calib_colmax=calib_colmax
         )
+    if mode == "int4c":
+        return quantize_int4c_weight(w)
     return codecs.quantize_matmul_weight(w, fmt=mode, block_size=block_size)
 
 
@@ -220,7 +227,10 @@ def quantize_params(
         return leaf
 
     return jax.tree_util.tree_map_with_path(
-        maybe_quant, params, is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int8Weight))
+        maybe_quant, params,
+        is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int8Weight, Int4cWeight)
+        ),
     )
 
 
@@ -317,12 +327,17 @@ def dequantize_params(params):
             dense = dense.at[leaf.outlier_idx].set(
                 leaf.w_outlier.astype(jnp.float32))
             return dense[:k, :n]  # drop kernel-tile padding
+        if isinstance(leaf, Int4cWeight):
+            from quanta_tpu.ops.int4c import dequantize_int4c
+
+            return dequantize_int4c(leaf)
         return leaf
 
     return jax.tree_util.tree_map(
         deq,
         params,
         is_leaf=lambda x: isinstance(
-            x, (QuantizedTensor, Int8Weight, calib.TapWeight, calib.ActQuantWeight)
+            x, (QuantizedTensor, Int8Weight, Int4cWeight, calib.TapWeight,
+                calib.ActQuantWeight)
         ),
     )

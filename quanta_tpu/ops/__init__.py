@@ -10,6 +10,7 @@ path. Dispatch policy: kernels on TPU, XLA reference path elsewhere
 
 import jax
 
+from quanta_tpu.ops.int4c import Int4cWeight, matmul_int4c, quantize_int4c_weight
 from quanta_tpu.ops.int8mm import Int8Weight, matmul_int8, quantize_int8_weight
 from quanta_tpu.ops.matmul import matmul_4bit, matmul_8bit, matmul_quantized
 from quanta_tpu.ops.quantize import dequantize_blockwise, quantize_blockwise
@@ -27,6 +28,9 @@ __all__ = [
     "matmul_int8",
     "quantize_int8_weight",
     "Int8Weight",
+    "Int4cWeight",
+    "matmul_int4c",
+    "quantize_int4c_weight",
     "quantize_blockwise",
     "dequantize_blockwise",
     "kernels_supported",

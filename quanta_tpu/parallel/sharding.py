@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from quanta_tpu.core.qtensor import QuantizedTensor
 from quanta_tpu.models.llama import LlamaConfig
 from quanta_tpu.nn.lora import LoRAWeight
+from quanta_tpu.ops.int4c import Int4cWeight
 from quanta_tpu.ops.int8mm import Int8Weight
 
 
@@ -187,6 +188,11 @@ def _expand_leaf_spec(leaf, spec: P):
             threshold=leaf.threshold,
             shape=leaf.shape,
         )
+    if isinstance(leaf, Int4cWeight):
+        a, b = (spec + (None, None))[:2] if spec else (None, None)
+        # codes pack two K-rows per byte: K-sharding would split nibble
+        # pairs, so only the N axis shards; scales follow their columns
+        return Int4cWeight(codes=P(a, b), scale=P(b), shape=leaf.shape)
     if isinstance(leaf, LoRAWeight):
         a, b = (spec + (None, None))[:2] if spec else (None, None)
         return LoRAWeight(
@@ -199,7 +205,9 @@ def _expand_leaf_spec(leaf, spec: P):
 
 
 def _is_weight_leaf(x) -> bool:
-    return isinstance(x, (QuantizedTensor, Int8Weight, LoRAWeight)) or isinstance(
+    return isinstance(
+        x, (QuantizedTensor, Int8Weight, Int4cWeight, LoRAWeight)
+    ) or isinstance(
         x, jax.Array
     )
 
@@ -207,7 +215,8 @@ def _is_weight_leaf(x) -> bool:
 def expand_specs(params, specs):
     """Expand logical weight specs into per-array PartitionSpecs."""
     flat_p, treedef = jax.tree_util.tree_flatten(
-        params, is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int8Weight, LoRAWeight))
+        params, is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int8Weight, Int4cWeight, LoRAWeight))
     )
     flat_s = treedef.flatten_up_to(specs)
     out = [_expand_leaf_spec(p, s) for p, s in zip(flat_p, flat_s)]

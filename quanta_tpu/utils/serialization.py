@@ -198,6 +198,7 @@ def _save_leaf(name: str, leaf, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]
     could never read back)."""
     from quanta_tpu import calib
     from quanta_tpu.nn.lora import LoRAWeight
+    from quanta_tpu.ops.int4c import Int4cWeight
     from quanta_tpu.ops.int8mm import Int8Weight
 
     if isinstance(leaf, QuantizedTensor):
@@ -214,6 +215,13 @@ def _save_leaf(name: str, leaf, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]
             "shape": list(leaf.shape),
         }
         for field in ("codes", "scale", "outlier_idx", "w_outlier"):
+            entry[field] = _put_array(
+                arrays, f"{name}.{field}", getattr(leaf, field)
+            )
+        return entry
+    if isinstance(leaf, Int4cWeight):
+        entry = {"kind": "int4cweight", "shape": list(leaf.shape)}
+        for field in ("codes", "scale"):
             entry[field] = _put_array(
                 arrays, f"{name}.{field}", getattr(leaf, field)
             )
@@ -247,13 +255,14 @@ def _save_leaf(name: str, leaf, arrays: Dict[str, np.ndarray]) -> Dict[str, Any]
     raise TypeError(
         f"checkpoint leaf {name!r} has unsupported type "
         f"{type(leaf).__name__}; supported: array, QuantizedTensor, "
-        "Int8Weight, LoRAWeight, ActQuantWeight, TapWeight"
+        "Int8Weight, Int4cWeight, LoRAWeight, ActQuantWeight, TapWeight"
     )
 
 
 def _load_leaf(name: str, m: Dict[str, Any], z):
     from quanta_tpu import calib
     from quanta_tpu.nn.lora import LoRAWeight
+    from quanta_tpu.ops.int4c import Int4cWeight
     from quanta_tpu.ops.int8mm import Int8Weight
 
     kind = m["kind"]
@@ -271,6 +280,12 @@ def _load_leaf(name: str, m: Dict[str, Any], z):
             outlier_idx=_get_array(z, f"{name}.outlier_idx", m["outlier_idx"]),
             w_outlier=_get_array(z, f"{name}.w_outlier", m["w_outlier"]),
             threshold=m["threshold"],
+            shape=tuple(m["shape"]),
+        )
+    if kind == "int4cweight":
+        return Int4cWeight(
+            codes=_get_array(z, f"{name}.codes", m["codes"]),
+            scale=_get_array(z, f"{name}.scale", m["scale"]),
             shape=tuple(m["shape"]),
         )
     if kind == "lora":

@@ -30,7 +30,7 @@ from quanta_tpu.core import codecs
 from quanta_tpu.models import llama
 
 FORMATS_8BIT = ("int8", "nf8", "llm_int8")
-FORMATS_4BIT = ("nf4a", "nf4", "int4", "fp4")
+FORMATS_4BIT = ("nf4a", "nf4", "int4", "fp4", "int4c")
 GATE = {**{f: 0.1 for f in FORMATS_8BIT}, **{f: 0.5 for f in FORMATS_4BIT}}
 
 

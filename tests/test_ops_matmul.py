@@ -141,3 +141,86 @@ def test_int8_weight_padding_round_trip():
     )
     out = int8mm.matmul_int8(x, qw, use_kernel=False)
     assert out.shape == (4, 70)
+
+
+# ------------------------------------------------------------ int4c kernel
+
+
+def _setup_int4c(m=8, k=300, n=200, seed=0):
+    from quanta_tpu.ops import int4c
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(seed))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.05
+    return x, w, int4c.quantize_int4c_weight(w)
+
+
+def test_int4c_round_trip():
+    from quanta_tpu.ops import int4c
+
+    _, w, qw = _setup_int4c(k=260, n=130)
+    assert qw.codes.shape == (256, 256) and qw.codes.dtype == jnp.uint8
+    assert qw.scale.shape == (256,) and qw.shape == (260, 130)
+    back = int4c.dequantize_int4c(qw)
+    assert back.shape == (260, 130)
+    # per-column absmax/7 grid: error bounded by scale/2 per element
+    err = np.abs(np.asarray(back - w))
+    bound = np.asarray(qw.scale)[None, :130] / 2 + 1e-6
+    assert (err <= bound).all()
+
+
+@pytest.mark.parametrize("shape", [(8, 300, 200), (48, 512, 384),
+                                   (1, 128, 128)])
+def test_int4c_kernel_matches_xla_path(shape):
+    from quanta_tpu.ops import int4c
+
+    m, k, n = shape
+    x, _, qw = _setup_int4c(m=m, k=k, n=n)
+    ref = int4c.matmul_int4c(x, qw, use_kernel=False)
+    out = int4c.matmul_int4c(x, qw, use_kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_int4c_through_linear_and_model():
+    """linear() dispatch + tiny-Llama forward + serialization round trip
+    for the int4c format."""
+    from quanta_tpu import nn as qnn
+    from quanta_tpu.models import llama
+    from quanta_tpu.nn.linear import linear
+    from quanta_tpu.ops.int4c import Int4cWeight
+    from quanta_tpu.utils import serialization
+
+    x, w, qw = _setup_int4c(m=16, k=256, n=192)
+    dense = np.asarray(x @ w)
+    out = np.asarray(linear(x, qw, use_kernel=True, interpret=True))
+    # 4-bit per-column weights + int8 activations on gaussian data: ~15%
+    # worst-element error is expected coarseness, not a plumbing bug (the
+    # exact-parity check is kernel-vs-oracle above; QUALITY is gated at
+    # model level by the ppl tests / docs/ACCURACY.md)
+    rel = np.abs(out - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert rel < 0.3, rel
+
+    cfg = llama.LlamaConfig.tiny(dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp = qnn.quantize_params(params, mode="int4c", min_size=0)
+    assert isinstance(qp["layers"][0]["wq"], Int4cWeight)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 12)),
+                       jnp.int32)
+    lg_ref, _ = llama.forward(params, toks, cfg)
+    lg_q, _ = llama.forward(qp, toks, cfg, use_kernel=False)
+    corr = np.corrcoef(np.asarray(lg_ref).ravel(), np.asarray(lg_q).ravel())
+    # random-init tiny dims exaggerate per-column 4-bit error; trained
+    # models are the quality gate (accuracy bench: +0.17 ppl, well under
+    # the 0.5 4-bit gate)
+    assert corr[0, 1] > 0.9, corr
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        serialization.save_checkpoint(qp, f"{d}/ck.npz")
+        back = serialization.load_checkpoint(f"{d}/ck.npz")
+    bw = back["layers"][0]["wq"]
+    assert isinstance(bw, Int4cWeight) and bw.shape == qp["layers"][0]["wq"].shape
+    np.testing.assert_array_equal(np.asarray(bw.codes),
+                                  np.asarray(qp["layers"][0]["wq"].codes))
