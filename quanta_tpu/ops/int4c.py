@@ -135,7 +135,7 @@ def matmul_int4c_kernel(
         tn, tk = {
             (2048, 2048): (512, 1024),
             (2048, 5632): (512, 1024),
-            (6144, 2048): (256, 1024),
+            (5632, 2048): (256, 1024),
             (2048, 32000): (256, 2048),
         }.get((k_dim, n), (0, 0))
     tm = min(tm, _round_up(m, 32))  # int8 min sublane tile

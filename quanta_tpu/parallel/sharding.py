@@ -192,7 +192,7 @@ def _expand_leaf_spec(leaf, spec: P):
         a, b = (spec + (None, None))[:2] if spec else (None, None)
         # codes pack two K-rows per byte: K-sharding would split nibble
         # pairs, so only the N axis shards; scales follow their columns
-        return Int4cWeight(codes=P(a, b), scale=P(b), shape=leaf.shape)
+        return Int4cWeight(codes=P(None, b), scale=P(b), shape=leaf.shape)
     if isinstance(leaf, LoRAWeight):
         a, b = (spec + (None, None))[:2] if spec else (None, None)
         return LoRAWeight(

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from quanta_tpu import calib
 from quanta_tpu.core.qtensor import QuantizedTensor
 from quanta_tpu.nn.linear import quantize_linear_weight
+from quanta_tpu.ops.int4c import Int4cWeight
 from quanta_tpu.ops.int8mm import Int8Weight
 from quanta_tpu.state.config import ConfigTree, QuantConfig
 
@@ -37,6 +38,8 @@ def config_to_mode(cfg: QuantConfig) -> str:
     """Map a QuantConfig onto a matmul weight format / weight mode."""
     if cfg.scheme == "llm_int8":
         return "llm_int8"
+    if cfg.scheme == "int4c":
+        return "int4c"
     if cfg.scheme == "codebook":
         return cfg.codebook or {4: "nf4", 8: "nf8"}[cfg.bits]
     if cfg.scheme == "symmetric":
@@ -115,7 +118,9 @@ def quantize_model(
     out = jax.tree_util.tree_map_with_path(
         maybe_quant,
         params,
-        is_leaf=lambda x: isinstance(x, (QuantizedTensor, Int8Weight)),
+        is_leaf=lambda x: isinstance(
+            x, (QuantizedTensor, Int8Weight, Int4cWeight)
+        ),
     )
     dead = [
         pattern

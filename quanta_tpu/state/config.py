@@ -16,7 +16,7 @@ import json
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
-_VALID_SCHEMES = ("symmetric", "affine", "codebook", "llm_int8")
+_VALID_SCHEMES = ("symmetric", "affine", "codebook", "llm_int8", "int4c")
 _VALID_CALIBRATION = ("minmax", "entropy", "percentile")
 
 
@@ -49,6 +49,8 @@ class QuantConfig:
             raise ValueError(f"calibration must be one of {_VALID_CALIBRATION}")
         if self.pack and self.bits != 4:
             raise ValueError("pack=True requires bits=4")
+        if self.scheme == "int4c" and self.bits != 4:
+            raise ValueError("scheme='int4c' requires bits=4")
         self.percentile = tuple(self.percentile)  # JSON round trip -> list
         if not (0.0 <= self.percentile[0] < self.percentile[1] <= 100.0):
             raise ValueError(f"bad percentile bounds {self.percentile}")
@@ -71,6 +73,9 @@ class QuantConfig:
         if mode == "llm_int8":
             return QuantConfig(bits=8, scheme="llm_int8",
                                block_size=block_size, **kw)
+        if mode == "int4c":
+            # per-output-column scales (no blocks) — see ops/int4c.py
+            return QuantConfig(bits=4, scheme="int4c", block_size=0, **kw)
         if mode in ("int8", "int4"):
             return QuantConfig(bits=int(mode[3:]), scheme="symmetric",
                                block_size=block_size, **kw)

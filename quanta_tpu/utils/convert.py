@@ -89,7 +89,10 @@ def transcode_codebook(
         )
     remap = np.argmin(np.abs(dst[None, :] - src[:, None]), axis=1)
     remap = jnp.asarray(remap.astype(np.uint8))
-    if qt.bits == 4:  # packed nibbles (split_k or flat: remap each half)
+    if qt.packed != "none":  # packed nibbles (split_k or flat: remap each
+        # half). An UNPACKED 4-bit tensor holds one code per byte with the
+        # high nibble always 0 — remapping that nibble would corrupt codes
+        # whenever remap[0] != 0, so it takes the plain-lookup branch below.
         lo = jnp.take(remap, (qt.codes & 0x0F).astype(jnp.int32))
         hi = jnp.take(remap, (qt.codes >> 4).astype(jnp.int32))
         codes = (lo | (hi << 4)).astype(jnp.uint8)

@@ -199,3 +199,34 @@ def test_quantize_model_dead_rule_reporting(tiny):
         q = ptq.quantize_model(params, good, min_size=0, strict_rules=True)
     assert q["layers"][0]["wq"].bits == 8
     assert q["layers"][1]["wq"].bits == 4
+
+
+def test_quantize_model_int4c_reachable(tiny):
+    """VERDICT r4 missing #3: int4c must be reachable from the config
+    system — QuantConfig.from_mode, ptq.quantize_model, and the round
+    trip through config_to_mode."""
+    from quanta_tpu.ops.int4c import Int4cWeight
+
+    c = QuantConfig.from_mode("int4c")
+    assert c.scheme == "int4c" and c.bits == 4
+    assert ptq.config_to_mode(c) == "int4c"
+    # JSON round trip keeps the scheme valid
+    assert QuantConfig.from_dict(c.to_dict()).scheme == "int4c"
+
+    cfg, params = tiny
+    q = ptq.quantize_model(params, ConfigTree(c), min_size=0)
+    l0 = q["layers"][0]
+    assert isinstance(l0["wq"], Int4cWeight)
+    assert isinstance(l0["w_down"], Int4cWeight)
+    # the int4c model runs via the dispatch path (XLA oracle on CPU)
+    toks = _batches(cfg, n=1)[0]
+    dense_logits = _fwd(cfg)(params, toks)
+    q_logits = _fwd(cfg)(q, toks)
+    assert jnp.isfinite(q_logits).all()
+    corr = np.corrcoef(
+        np.asarray(dense_logits).ravel(), np.asarray(q_logits).ravel()
+    )[0, 1]
+    # per-COLUMN scales on random weights are coarser than blockwise-64
+    # formats (0.92 here vs 0.95 nf4a); real quality gates live in
+    # benchmarks/accuracy_bench.py on a trained model
+    assert corr > 0.9
