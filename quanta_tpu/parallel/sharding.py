@@ -22,6 +22,23 @@ Sharding rules for a logical (K, N) weight with spec P(a, b):
 
 Collectives (all-gather on column-sharded outputs, psum after row-sharded
 matmuls) are inserted by GSPMD from these specs — no NCCL-analog code.
+
+TP support matrix per weight format (pinned by tests/test_parallel.py):
+
+  | format          | GSPMD specs (shard_params)      | manual shard_map TP |
+  |-----------------|----------------------------------|---------------------|
+  | dense           | K and N                          | yes (tp.quantize_tp)|
+  | QuantizedTensor | K and N (codes+scales together)  | yes, incl. bit-exact|
+  |  (split_k)      |                                  | tp.from_global      |
+  | Int8Weight      | codes K/N; scale+outliers N only | no — GSPMD only     |
+  | Int4cWeight     | N only (nibble pairs span K)     | no — GSPMD only     |
+  | LoRAWeight      | base as above; A row-/B col-split| base rules apply    |
+
+Manual TP (quanta_tpu.parallel.tp) re-quantizes per shard so each
+device's kernel sees locally-packed split_k rows; llm_int8's outlier set
+and int4c's packed nibble pairs are global-K structures with no local
+re-pairing implemented, so those formats serve TP through GSPMD specs
+alone (tp.quantize_tp raises a clear error for them).
 """
 
 from __future__ import annotations

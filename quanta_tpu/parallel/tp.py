@@ -99,7 +99,19 @@ class ShardedQuant:
 def quantize_tp(
     w: jax.Array, tp: int, *, axis: int, fmt: str = "nf4", block_size: int = 64
 ) -> ShardedQuant:
-    """Quantize a dense (K, N) weight into ``tp`` locally-packed shards."""
+    """Quantize a dense (K, N) weight into ``tp`` locally-packed shards.
+
+    Supports the fused-kernel QuantizedTensor formats (symmetric /
+    codebook). llm_int8 and int4c have global-K structure (calibrated
+    outlier rows; split_k nibble pairs with per-column scales) and no
+    local re-pairing here — shard those with GSPMD specs instead
+    (parallel.sharding support matrix).
+    """
+    if fmt in ("llm_int8", "int4c"):
+        raise ValueError(
+            f"manual TP does not support fmt={fmt!r}; use GSPMD sharding "
+            "(quanta_tpu.parallel.shard_params) for this format"
+        )
     k, n = w.shape
     if w.shape[axis] % tp:
         raise ValueError(f"axis {axis} of {w.shape} not divisible by tp={tp}")

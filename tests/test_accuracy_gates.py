@@ -18,6 +18,8 @@ the asserts are strict.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # pretrained byte-LM fixture (~80 s)
+
 import jax
 import jax.numpy as jnp
 

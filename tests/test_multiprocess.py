@@ -18,6 +18,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # real 2-process DCN cluster (~4 min)
+
 _WORKER = textwrap.dedent(
     """
     import sys

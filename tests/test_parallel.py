@@ -272,3 +272,51 @@ def test_host_mesh_qlora_step_dcn_grad_psum(setup):
     flat = make_mesh(data=2, model=4)
     loss_f = run(flat, None)
     np.testing.assert_allclose(loss_h, loss_f, rtol=1e-5)
+
+
+def _assert_quant_close(out, ref):
+    """Sharded-vs-unsharded for ACTIVATION-quantizing formats: GSPMD
+    reorders f32 reductions, and a 0.5-ulp flip at a round() boundary
+    flips one int8 activation code, so a small fraction of logits move
+    by ~one quantization step. Bound the step size and the fraction."""
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert d.max() < 0.05 * max(scale, 1.0), d.max()
+    frac = float((d > 1e-3 * max(scale, 1.0)).mean())
+    assert frac < 0.05, f"{frac:.3%} of logits moved"
+
+
+def test_llm_int8_gspmd_equivalence(mesh, setup):
+    """Int8Weight (llm_int8) leaves shard via GSPMD specs — N-sharded
+    scale/outliers, replicated index — and match unsharded execution.
+    Pins one side of the TP support matrix (parallel/sharding.py)."""
+    params, toks = setup
+    qparams = qnn.quantize_params(params, mode="llm_int8", min_size=1024)
+    ref, _ = llama.forward(qparams, toks, CFG)
+    sharded = shard_params(qparams, mesh, cfg=CFG)
+    toks_s = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+    out, _ = jax.jit(lambda p, t: llama.forward(p, t, CFG))(sharded, toks_s)
+    _assert_quant_close(out, ref)
+
+
+def test_int4c_gspmd_equivalence(mesh, setup):
+    """Int4cWeight shards on N only (nibble pairs span K); GSPMD execution
+    matches unsharded."""
+    params, toks = setup
+    qparams = qnn.quantize_params(params, mode="int4c", min_size=1024)
+    ref, _ = llama.forward(qparams, toks, CFG)
+    sharded = shard_params(qparams, mesh, cfg=CFG)
+    toks_s = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+    out, _ = jax.jit(lambda p, t: llama.forward(p, t, CFG))(sharded, toks_s)
+    _assert_quant_close(out, ref)
+
+
+def test_manual_tp_rejects_global_k_formats():
+    """The other side of the support matrix: manual TP raises a clear
+    error for llm_int8/int4c instead of silently mis-sharding."""
+    from quanta_tpu.parallel import tp as tpmod
+
+    w = jnp.ones((128, 128), jnp.float32)
+    for fmt in ("llm_int8", "int4c"):
+        with pytest.raises(ValueError, match="GSPMD"):
+            tpmod.quantize_tp(w, 2, axis=1, fmt=fmt)

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-vs-greedy oracles (minutes)
+
 from quanta_tpu import nn as qnn
 from quanta_tpu.models import llama
 from quanta_tpu.serve import Engine, PageAllocator, Request, SamplingParams
