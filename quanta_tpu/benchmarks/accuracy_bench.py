@@ -53,9 +53,12 @@ def make_batches(ids: np.ndarray, batch: int, seq_len: int, steps: int, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
-    ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--layers", type=int, default=4)
+    # r5 default scale (VERDICT r4 #5): dim 512 / 8 layers / GQA 4:1 /
+    # 3000 steps — one notch up from the r3/r4 proxy (dim 256, 4 layers)
+    # so outlier structure has somewhere to develop
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--eval-bytes", type=int, default=200_000)
@@ -79,7 +82,7 @@ def main():
         dim=args.dim,
         n_layers=args.layers,
         n_heads=8,
-        n_kv_heads=4,
+        n_kv_heads=2,  # 4:1 GQA, the TinyLlama/Llama-3 geometry class
         hidden_dim=args.dim * 3,
         max_seq_len=args.seq,
         dtype=jnp.float32,
@@ -128,6 +131,28 @@ def main():
     from quanta_tpu.utils import transcode_params
     variants["nf4->nf4a"] = transcode_params(variants["nf4"])
 
+    # W8A8: int8 weights AND int8 fake-quant activations, per calibration
+    # method — the reference's declared weights+activations capability
+    # (functional/model.py:196-246) finally gets quality evidence
+    # (VERDICT r4 missing #4). Stats come from held-in training text.
+    from quanta_tpu import calib, ptq
+    from quanta_tpu.state.config import ConfigTree, QuantConfig
+
+    calib_batches = list(
+        make_batches(train_ids, 8, args.seq, steps=8, seed=123)
+    )
+    fwd = lambda p, b: llama.forward(p, b["inputs"], cfg,
+                                     use_kernel=False)[0]
+    stats = calib.collect_stats(fwd, params, calib_batches)
+    for method in ("minmax", "percentile", "entropy"):
+        variants[f"w8a8-{method}"] = ptq.quantize_model(
+            params,
+            ConfigTree(QuantConfig(bits=8, scheme="symmetric",
+                                   weights_only=False,
+                                   calibration=method)),
+            stats=stats,
+        )
+
     use_kernel = jax.default_backend() == "tpu"
     table = qeval.ppl_table(
         variants, eval_ids, cfg, seq_len=args.seq, batch=args.batch,
@@ -136,7 +161,9 @@ def main():
 
     gate = {"int8": 0.1, "nf8": 0.1, "llm_int8": 0.1,
             "nf4a": 0.5, "nf4": 0.5, "int4": 0.5, "fp4": 0.5,
-            "int4c": 0.5, "nf4->nf4a": 0.5}
+            "int4c": 0.5, "nf4->nf4a": 0.5,
+            "w8a8-minmax": 0.1, "w8a8-percentile": 0.1,
+            "w8a8-entropy": 0.1}
     lines = [
         "# Accuracy: held-out perplexity per weight format",
         "",

@@ -52,7 +52,7 @@ def make_trace(n_requests: int, rate: float, max_prompt: int, max_new: int,
 def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
             rate: float = 16.0, max_new: int = 64, n_slots: int = 8,
             use_kernel=None, kv_quant: bool = False, multi_step: int = 1,
-            seed: int = 0):
+            pipeline_depth: int = 2, seed: int = 0):
     """Serve one Poisson trace; returns the engine metrics dict."""
     from quanta_tpu.serve import Engine, Request
 
@@ -65,6 +65,7 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
         max_admits_per_step=1,
         kv_quant=kv_quant,
         multi_step=multi_step,
+        pipeline_depth=pipeline_depth,
     )
     pool_bytes = sum(
         int(np.prod(a.shape)) * a.dtype.itemsize

@@ -224,3 +224,24 @@ def test_int4c_through_linear_and_model():
     assert isinstance(bw, Int4cWeight) and bw.shape == qp["layers"][0]["wq"].shape
     np.testing.assert_array_equal(np.asarray(bw.codes),
                                   np.asarray(qp["layers"][0]["wq"].codes))
+
+
+@pytest.mark.parametrize("shape", [(8, 300, 200), (48, 512, 384),
+                                   (1, 128, 128)])
+def test_int8_fused_prologue_epilogue_matches(shape):
+    """The fully-fused variant (activation quantize in the prologue,
+    scales + outlier-add in the epilogue — one pallas_call) matches the
+    XLA path AND the plain kernel (VERDICT r4 #3)."""
+    from quanta_tpu.ops import int8mm
+
+    m, k, n = shape
+    x, _, qw = _setup_int8(m=m, k=k, n=n)
+    ref = int8mm.matmul_int8(x, qw, use_kernel=False)
+    fused = int8mm.matmul_int8(x, qw, use_kernel=True, fused=True,
+                               interpret=True)
+    plain = int8mm.matmul_int8(x, qw, use_kernel=True, fused=False,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=1e-5, atol=1e-4)

@@ -75,6 +75,7 @@ def test_checkpoint_reshard_across_tp_widths(tmp_path, setup):
         np.testing.assert_array_equal(got, want, err_msg=f"tp={tp}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fmt", ["nf4", "int8"])
 def test_tp_forward_equivalence(setup, fmt):
     """shard_map TP forward == dense forward on the dequantized oracle."""
@@ -104,6 +105,7 @@ def test_tp_forward_equivalence(setup, fmt):
     )
 
 
+@pytest.mark.slow
 def test_tp_forward_matches_dense_model_closely(setup):
     """End-to-end sanity: TP-quantized forward correlates with the dense
     model (quantization noise only)."""
@@ -135,6 +137,7 @@ def _dequant_oracle(tp_params, params):
     return oracle
 
 
+@pytest.mark.slow
 def test_tp_cached_decode_equivalence(setup):
     """Manual-TP KV-cache decode == dense decode on the dequantized oracle:
     prefill logits, teacher-forced decode logits, and greedy ids all match
@@ -169,6 +172,7 @@ def test_tp_cached_decode_equivalence(setup):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_tp_forward_kernel_under_shard_map(setup):
     """The fused dequant-matmul kernel composes with manual TP: the Pallas
     kernel (interpret mode on CPU) runs inside shard_map and matches the
