@@ -345,7 +345,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(q, ckpt=False)
     q.add_argument("--fmt", default="nf4a",
                    choices=["int8", "int4", "nf4", "nf4a", "nf8", "fp4",
-                            "fp8", "llm_int8", "int4c"])
+                            "fp8", "llm_int8", "int4c", "int8a", "int4a"])
     q.add_argument("--block-size", type=int, default=64)
     q.add_argument("--config", help="ConfigTree JSON (three-tier rules)")
     q.add_argument("--calib-text", help="text file for activation calibration")

@@ -215,6 +215,41 @@ def quantize_matmul_weight(
         codes4 = idx.astype(jnp.uint8).reshape(k, -1)
         codes = packing.pack_split_k(codes4)
         bits, scheme, packed = 4, "codebook", "split_k"
+    elif fmt in ("int8a", "int4a"):
+        # affine (zero-point) blockwise — the reference's default 8-bit
+        # scheme (backends/cpu/quantization.py:52-57). Convention here:
+        # w = codes * scale + zp, zp = block min, codes unsigned. The
+        # fused kernels need NO affine variant: codes*scale runs through
+        # the symmetric path and the zp term factors out of the matmul
+        # as blocksum(x) @ zp (ops/matmul handles it; one tiny
+        # (M, K/B) x (K/B, N) GEMM).
+        qmax = 255 if fmt == "int8a" else 15
+        lo = jnp.min(blocks, axis=1)
+        hi = jnp.max(blocks, axis=1)
+        scale = _safe_scale((hi - lo) / qmax)
+        zp = lo
+        q = jnp.clip(jnp.round((blocks - zp[:, None, :]) / scale[:, None, :]),
+                     0, qmax)
+        codes4 = q.astype(jnp.uint8).reshape(k, -1)
+        if fmt == "int4a":
+            codes = packing.pack_split_k(codes4)
+            bits, packed = 4, "split_k"
+        else:
+            codes = codes4
+            bits, packed = 8, "none"
+        scheme, cb = "affine", None
+        return QuantizedTensor(
+            codes=codes,
+            scale=scale.astype(jnp.float32),
+            zero_point=zp.astype(jnp.float32),
+            bits=bits,
+            scheme=scheme,
+            codebook=cb,
+            shape=logical_shape,
+            dtype=w.dtype,
+            block_size=block_size,
+            packed=packed,
+        )
     else:
         raise ValueError(f"unknown matmul weight format {fmt!r}")
 
@@ -242,10 +277,17 @@ def _dequant_matmul_layout(qt: QuantizedTensor, codes: jax.Array) -> jax.Array:
 
 def dequantize_matmul_weight(qt: QuantizedTensor) -> jax.Array:
     """Dequantize a matmul-layout weight back to the logical (K, N)."""
+    k, n = qt.shape
+    if qt.scheme == "affine":  # int8a / int4a: w = codes*scale + zp
+        codes = (packing.unpack_split_k(qt.codes)
+                 if qt.packed == "split_k" else qt.codes)
+        scale = jnp.repeat(qt.scale, qt.block_size, axis=0)
+        zp = jnp.repeat(qt.zero_point, qt.block_size, axis=0)
+        vals = codes.astype(jnp.float32) * scale + zp
+        return vals[:k, :n].astype(qt.dtype)
     if qt.packed == "split_k":
         codes = packing.unpack_split_k(qt.codes)
         return _dequant_matmul_layout(qt, codes)
-    k, n = qt.shape
     scale = jnp.repeat(qt.scale, qt.block_size, axis=0)
     if qt.scheme == "symmetric":  # int8
         return (qt.codes.astype(jnp.float32) * scale)[:k, :n].astype(qt.dtype)

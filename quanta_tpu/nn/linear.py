@@ -90,9 +90,12 @@ def quantize_linear_weight(
     """Convert a dense (in, out) weight into a quantized representation.
 
     mode: "nf4"/"nf4a"/"int4"/"fp4"/"int8"/"nf8"/"fp8" (fused-kernel
-    formats), "llm_int8" (outlier-decomposition Int8Weight), or "int4c"
-    (4-bit weights on the int8 MXU, per-column scales — the fastest
-    4-bit serving format; ops/int4c.py).
+    formats), "int8a"/"int4a" (affine zero-point blockwise — the
+    reference's default 8-bit scheme; served via the symmetric kernel
+    plus a blocksum(x) @ zp correction GEMM), "llm_int8"
+    (outlier-decomposition Int8Weight), or "int4c" (4-bit weights on
+    the int8 MXU, per-column scales — the fastest 4-bit serving format;
+    ops/int4c.py).
     """
     if mode == "llm_int8":
         return quantize_int8_weight(

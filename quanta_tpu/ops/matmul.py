@@ -390,6 +390,18 @@ def _mmq(x: jax.Array, qt: QuantizedTensor, opts: tuple) -> jax.Array:
         )
     else:
         raise ValueError(f"unsupported matmul layout: {qt.packed}/{qt.bits}bit")
+    if qt.scheme == "affine":
+        # zero-point term: x @ expand(zp) == blocksum(x) @ zp — a tiny
+        # (M, K/B) x (K/B, N) GEMM, so the fused kernels need no affine
+        # variant (their unsigned codes*scale part ran above). Padded x
+        # columns are zero, so padded blocks contribute nothing.
+        b = qt.block_size
+        k_pad = qt.zero_point.shape[0] * b
+        xp = x2.astype(jnp.float32)
+        if xp.shape[1] < k_pad:
+            xp = jnp.pad(xp, ((0, 0), (0, k_pad - xp.shape[1])))
+        xb = xp.reshape(xp.shape[0], k_pad // b, b).sum(axis=2)
+        out = out + (xb @ qt.zero_point).astype(out.dtype)
     out = out[:, : qt.shape[1]]  # drop N padding
     return out.reshape(*lead, out.shape[-1])
 

@@ -44,6 +44,8 @@ def config_to_mode(cfg: QuantConfig) -> str:
         return cfg.codebook or {4: "nf4", 8: "nf8"}[cfg.bits]
     if cfg.scheme == "symmetric":
         return {4: "int4", 8: "int8"}[cfg.bits]
+    if cfg.scheme == "affine":
+        return {4: "int4a", 8: "int8a"}[cfg.bits]
     raise ValueError(
         f"scheme {cfg.scheme!r} has no fused matmul layout; use "
         "quanta_tpu.state.QuantizationState for generic (non-matmul) tensors"

@@ -79,6 +79,9 @@ class QuantConfig:
         if mode in ("int8", "int4"):
             return QuantConfig(bits=int(mode[3:]), scheme="symmetric",
                                block_size=block_size, **kw)
+        if mode in ("int8a", "int4a"):
+            return QuantConfig(bits=int(mode[3]), scheme="affine",
+                               block_size=block_size, **kw)
         if mode in ("nf4", "nf4a", "fp4"):
             return QuantConfig(bits=4, scheme="codebook", codebook=mode,
                                block_size=block_size, **kw)
