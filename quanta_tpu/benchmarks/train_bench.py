@@ -153,12 +153,16 @@ def bench_qlora(name, cfg, *, fmt, batch, seq, rank=8,
 
     # XLA's allocation plan for ONE train step (not the scan loop: the
     # scan double-buffers nothing extra, but one step is the honest
-    # "what must fit" number)
+    # "what must fit" number). NOTE: no is_leaf here — a QuantizedTensor
+    # has .shape/.dtype FIELDS, so an is_leaf testing hasattr(shape)
+    # collapses the whole quantized leaf into ONE dense-bf16
+    # ShapeDtypeStruct and the AOT program compiles with dense weights
+    # (this artifact produced a phantom 24.35 GiB "OOM" at 13B in
+    # earlier runs; the executed runs always used the real packed trees)
     one = make_loop(1)
     shapes = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (adapters, opt_state, params, data),
-        is_leaf=lambda x: hasattr(x, "shape") and hasattr(x, "dtype"),
     )
     t0 = time.time()
     compiled = one.lower(*shapes).compile()

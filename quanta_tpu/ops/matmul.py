@@ -370,6 +370,223 @@ def matmul_8bit(
     return out[:m]
 
 
+# -------------------------------------------- transposed (backward) kernels
+#
+# dx = g (M, N) @ W^T (N, K) with W still PACKED in HBM. Without these,
+# the VJP dequantized each layer's weight to dense bf16 in XLA — and
+# XLA's scheduler hoisted every layer's dequant to the start of the
+# backward, materializing the ENTIRE dense weight tree at once: QLoRA
+# on Llama-2-13B asked for 24.35 GiB of HBM (the dense bf16 size) and
+# OOM'd on the 16 GiB chip even though its packed weights are 6.9 GiB.
+# Dequantizing tile-wise in VMEM, like the forward, removes dense
+# weights from HBM entirely in both directions.
+
+
+def _mm4t_kernel(
+    g_ref, wp_ref, s_lo_ref, s_hi_ref, dlo_ref, dhi_ref, acc_lo, acc_hi,
+    *, codebook, block: int, out_dtype,
+):
+    s = pl.program_id(2)  # N is the innermost (arbitrary) axis
+
+    @pl.when(s == 0)
+    def _():
+        acc_lo[:] = jnp.zeros_like(acc_lo)
+        acc_hi[:] = jnp.zeros_like(acc_hi)
+
+    packed = wp_ref[:].astype(jnp.int32)
+    lo = packed & 0x0F
+    hi = packed >> 4
+    w_lo = _dequant_codes(lo, codebook) * _expand_scales(s_lo_ref[:], block)
+    w_hi = _dequant_codes(hi, codebook) * _expand_scales(s_hi_ref[:], block)
+
+    g = g_ref[:]  # (tm, tn)
+    acc_lo[:] += jax.lax.dot_general(
+        g, w_lo.astype(g.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_hi[:] += jax.lax.dot_general(
+        g, w_hi.astype(g.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        dlo_ref[:] = acc_lo[:].astype(out_dtype)
+        dhi_ref[:] = acc_hi[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret",
+                     "out_dtype"),
+)
+def matmul_4bit_t(
+    g: jax.Array,
+    codes_packed: jax.Array,
+    scales: jax.Array,
+    *,
+    codebook: str | None = "nf4a",
+    block: int = 64,
+    tm: int = 256,
+    tn: int = 0,
+    tk: int = 0,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """``g (M, N_pad) @ W^T`` for split_k-packed W. Returns (M, K_pad).
+
+    One grid cell covers a packed-row range and emits BOTH nibble
+    halves' dx columns: dx[:, :K/2] from the low nibbles and
+    dx[:, K/2:] from the high ones (split_k stores rows (k, k + K/2)
+    per byte), accumulated over the N axis.
+    """
+    m, n_dim = g.shape
+    k2, n = codes_packed.shape
+    if n_dim < n:
+        g = jnp.pad(g, ((0, 0), (0, n - n_dim)))
+    elif n_dim != n:
+        raise ValueError(f"g N={n_dim} > codes N={n}")
+    out_dtype = out_dtype or g.dtype
+
+    unit = 8 * block
+    tm = min(tm, _round_up(m, 16))
+    tn = tn or _pick_tile_n(n)
+    cap = tk // 2 if tk else max(unit, (1 << 20) // (2 * tn) * 2)
+    tkp = _pick_tile_k(k2, unit, cap)
+    sb = tkp // block
+
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        g = jnp.pad(g, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // tm, k2 // tkp, n // tn)
+    nk_half = k2 // tkp  # scale-row offset of the hi half, in tiles
+
+    kernel = functools.partial(
+        _mm4t_kernel, codebook=codebook, block=block, out_dtype=out_dtype
+    )
+    dlo, dhi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j, s: (i, s)),     # g
+            pl.BlockSpec((tkp, tn), lambda i, j, s: (j, s)),    # packed
+            pl.BlockSpec((sb, tn), lambda i, j, s: (j, s)),     # lo scales
+            pl.BlockSpec((sb, tn), lambda i, j, s: (j + nk_half, s)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tkp), lambda i, j, s: (i, j)),
+            pl.BlockSpec((tm, tkp), lambda i, j, s: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, k2), out_dtype),
+            jax.ShapeDtypeStruct((m_pad, k2), out_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tm, tkp), jnp.float32),
+            pltpu.VMEM((tm, tkp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * 2 * k2,
+            bytes_accessed=m_pad * n * 2 + k2 * n + m_pad * 2 * k2 * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, codes_packed, scales, scales)
+    return jnp.concatenate([dlo, dhi], axis=1)[:m]
+
+
+def _mm8t_kernel(
+    g_ref, w_ref, s_ref, out_ref, acc_ref, *, codebook, block: int,
+    out_dtype,
+):
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _dequant_codes(w_ref[:].astype(jnp.int32), codebook)
+    w = w * _expand_scales(s_ref[:], block)
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], w.astype(g_ref.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(s == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("codebook", "block", "tm", "tn", "tk", "interpret",
+                     "out_dtype"),
+)
+def matmul_8bit_t(
+    g: jax.Array,
+    codes: jax.Array,
+    scales: jax.Array,
+    *,
+    codebook: str | None = None,
+    block: int = 64,
+    tm: int = 256,
+    tn: int = 0,
+    tk: int = 0,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """``g (M, N_pad) @ W^T`` for 8-bit codes. Returns (M, K_pad)."""
+    m, n_dim = g.shape
+    kw, n = codes.shape
+    if n_dim < n:
+        g = jnp.pad(g, ((0, 0), (0, n - n_dim)))
+    elif n_dim != n:
+        raise ValueError(f"g N={n_dim} > codes N={n}")
+    out_dtype = out_dtype or g.dtype
+
+    unit = 8 * block
+    tm = min(tm, _round_up(m, 16))
+    tn = tn or _pick_tile_n(n)
+    cap = tk if tk else max(unit, (1 << 21) // (2 * tn) * 2)
+    tkk = _pick_tile_k(kw, unit, cap)
+    sb = tkk // block
+
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        g = jnp.pad(g, ((0, m_pad - m), (0, 0)))
+
+    grid = (m_pad // tm, kw // tkk, n // tn)
+    kernel = functools.partial(
+        _mm8t_kernel, codebook=codebook, block=block, out_dtype=out_dtype
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tn), lambda i, j, s: (i, s)),
+            pl.BlockSpec((tkk, tn), lambda i, j, s: (j, s)),
+            pl.BlockSpec((sb, tn), lambda i, j, s: (j, s)),
+        ],
+        out_specs=pl.BlockSpec((tm, tkk), lambda i, j, s: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, kw), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tkk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * kw,
+            bytes_accessed=m_pad * n * 2 + kw * n + m_pad * kw * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, codes, scales)
+    return out[:m]
+
+
 # ----------------------------------------------------------- QT entry point
 
 
@@ -412,14 +629,38 @@ def _mmq_fwd(x, qt, opts):
 
 def _mmq_bwd(opts, res, g):
     # Quantized weights are frozen codes (QLoRA semantics): only dx flows.
-    # Backward dequantizes once per step via the XLA path; fine because the
-    # bwd GEMM dominates. dx = g @ W^T.
-    from quanta_tpu.core import codecs
-
+    # dx = g @ W^T runs through the TRANSPOSED fused kernels — W is
+    # dequantized tile-wise in VMEM exactly like the forward. The old
+    # XLA-path backward (dequantize to dense bf16, then GEMM) let XLA's
+    # scheduler hoist every layer's dequant to the start of the backward
+    # and materialize the whole dense tree: 13B QLoRA demanded 24.35 GiB
+    # (the dense size) and OOM'd a 16 GiB chip.
+    kw = dict(opts)
+    interpret = kw.get("interpret", False)
     x, qt = res
-    w = codecs.dequantize_matmul_weight(qt).astype(g.dtype)
-    dx = (g @ w.T).astype(x.dtype)
-    return (dx, jax.tree_util.tree_map(jnp.zeros_like, qt))
+    lead = g.shape[:-1]
+    g2 = g.reshape(-1, g.shape[-1])
+    n_pad = qt.codes.shape[-1]
+    if g2.shape[-1] < n_pad:  # N padding the fwd sliced off
+        g2 = jnp.pad(g2, ((0, 0), (0, n_pad - g2.shape[-1])))
+    if qt.packed == "split_k":
+        dx = matmul_4bit_t(
+            g2, qt.codes, qt.scale, codebook=qt.codebook,
+            block=qt.block_size, interpret=interpret,
+        )
+    else:
+        dx = matmul_8bit_t(
+            g2, qt.codes, qt.scale, codebook=qt.codebook,
+            block=qt.block_size, interpret=interpret,
+        )
+    if qt.scheme == "affine":
+        # zp term of W^T: dx_zp[m, k] = (g @ zp^T)[m, block(k)]
+        gz = g2.astype(jnp.float32) @ qt.zero_point.T  # (M, K/B)
+        gz = jnp.repeat(gz, qt.block_size, axis=1)
+        dx = dx + gz.astype(dx.dtype)
+    dx = dx[:, : x.shape[-1]].astype(x.dtype)  # drop K padding
+    return (dx.reshape(*lead, -1),
+            jax.tree_util.tree_map(jnp.zeros_like, qt))
 
 
 _mmq.defvjp(_mmq_fwd, _mmq_bwd)

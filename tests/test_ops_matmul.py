@@ -273,3 +273,40 @@ def test_affine_ptq_reachable():
         c = QuantConfig(bits=bits, scheme="affine")
         assert ptq.config_to_mode(c) == mode
         assert QuantConfig.from_mode(mode).scheme == "affine"
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_backward_kernel_matches_oracle(fmt):
+    """jax.grad through matmul_quantized uses the TRANSPOSED fused
+    kernels (dx = g @ W^T with W dequantized tile-wise in VMEM — the
+    XLA-path backward materialized the whole dense tree at once and
+    OOM'd 13B QLoRA). Must match the dequant oracle's gradient."""
+    x, qt, _ = _setup(fmt, m=12, k=256, n=192)
+    wd = core.dequantize_matmul_weight(qt).astype(jnp.float32)
+
+    def loss_kernel(x):
+        return jnp.sum(mm.matmul_quantized(x, qt, interpret=True) ** 2)
+
+    def loss_oracle(x):
+        return jnp.sum((x @ wd) ** 2)
+
+    gk = jax.grad(loss_kernel)(x)
+    go = jax.grad(loss_oracle)(x)
+    # affine adds the zp term as a separately-summed GEMM: slightly
+    # different accumulation order than the fused oracle product
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
+                               rtol=5e-4, atol=2e-3)
+
+
+def test_backward_kernel_unaligned_and_batched():
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 250), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(10), (250, 100), jnp.float32)
+    qt = core.quantize_matmul_weight(w, fmt="nf4a", block_size=64)
+    wd = core.dequantize_matmul_weight(qt).astype(jnp.float32)
+    gk = jax.grad(
+        lambda x: jnp.sum(mm.matmul_quantized(x, qt, interpret=True) ** 2)
+    )(x)
+    go = jax.grad(lambda x: jnp.sum((x @ wd) ** 2))(x)
+    assert gk.shape == x.shape
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(go),
+                               rtol=1e-4, atol=1e-3)
