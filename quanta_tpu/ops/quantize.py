@@ -7,9 +7,13 @@ materializes a numel x 16 distance tensor,
 SURVEY.md §2.7; here nearest-level search is a 15-compare chain against
 trace-time-constant midpoints, O(1) extra memory).
 
-Used for on-the-fly activation/KV quantization and (re)quantizing
-optimizer state; weight quantization at load time just uses the XLA path
-in quanta_tpu.core.codecs.
+Production caller: the int8 KV-cache write path
+(serve/kvcache.quantize_kv routes prefill-scale tensors here with
+block == head_dim — measured 2.5x faster than the XLA quantize at a
+2048-token write; tiny decode-window writes keep XLA, which fuses
+into the surrounding program). The 8-bit optimizer requant has its own
+fused update kernel (ops/adam8bit.py); weight quantization at load time
+uses the XLA path in quanta_tpu.core.codecs.
 """
 
 from __future__ import annotations

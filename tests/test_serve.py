@@ -429,3 +429,27 @@ def test_engine_serves_gpt2():
             np.asarray(req.output), np.asarray(want),
             err_msg=f"gpt2 request {req.uid} diverged",
         )
+
+
+def test_quantize_kv_kernel_path_parity():
+    """The Pallas blockwise-quantize route of quantize_kv (engaged for
+    prefill-scale writes on TPU) must match the XLA path to one code
+    step on every vector (scale conventions differ only in the
+    degenerate-zero guard)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 4, 64), jnp.bfloat16)
+    ck, sk = kvcache.quantize_kv(x, use_kernel=True)
+    cx, sx = kvcache.quantize_kv(x, use_kernel=False)
+    assert ck.shape == cx.shape and sk.shape == sx.shape
+    np.testing.assert_allclose(np.asarray(sk), np.asarray(sx),
+                               rtol=1e-5, atol=1e-9)
+    assert int(np.abs(np.asarray(ck, np.int32)
+                      - np.asarray(cx, np.int32)).max()) <= 1
+    bk = kvcache.dequantize_kv(ck, sk, jnp.float32)
+    bx = kvcache.dequantize_kv(cx, sx, jnp.float32)
+    np.testing.assert_allclose(np.asarray(bk), np.asarray(bx), atol=0.02)
+    # zero vectors stay exactly zero on both paths
+    z = jnp.zeros((8, 2, 64), jnp.float32)
+    for uk in (True, False):
+        c, s = kvcache.quantize_kv(z, use_kernel=uk)
+        assert float(jnp.abs(
+            kvcache.dequantize_kv(c, s, jnp.float32)).max()) == 0.0
