@@ -225,6 +225,14 @@ def main():
         "  every step, like real multi-layer decode); single-weight loops",
         "  that let XLA pin the weight in VMEM run up to ~3x faster and",
         "  are not representative.",
+        "- Run-to-run variance (measured, benchmarks/decode_tile_ab.py):",
+        "  full-model decode repeats WITHIN one session spread ~1%;",
+        "  across sessions/rounds the same code has moved up to ~4-5%",
+        "  (tunnel/allocation variation). Per-op cells can move",
+        "  +-20-40%. Judge regressions against these bounds: the r3->r4",
+        "  nf4a decode delta (2392 -> 2289, 4.3%) is cross-session",
+        "  variance — the suspected tuned-tile re-keying measures within",
+        "  0.4% of the heuristics at model level.",
         "",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
