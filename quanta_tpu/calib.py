@@ -255,10 +255,13 @@ def _entropy_range(
     if total == 0 or len(hist) < 4 * levels:  # too coarse: degenerate
         return float(edges[0]), float(edges[-1])
 
-    # fold signed histogram about zero into an |x| histogram
+    # fold signed histogram about zero into an |x| histogram — at FULL
+    # bin resolution (nabs == len(hist)): the KL sweep needs several
+    # histogram bins per quantization level to discriminate (TensorRT
+    # uses 2048 bins for 128 levels)
     centers = (edges[:-1] + edges[1:]) / 2
     abs_max = max(abs(float(edges[0])), abs(float(edges[-1])))
-    nabs = len(hist) // 2
+    nabs = len(hist)
     abs_idx = np.minimum(
         (np.abs(centers) / abs_max * nabs).astype(int), nabs - 1
     )
@@ -267,7 +270,12 @@ def _entropy_range(
     awidth = abs_max / nabs
 
     best_i, best_kl = nabs, np.inf
-    for i in range(levels, nabs + 1, 4):
+    # start where quantization actually smears (>= 2 bins/level): at
+    # i == levels each level maps to exactly one bin, q == p and
+    # KL == 0 identically — a degenerate argmin that silently pinned
+    # every threshold at the smallest candidate (found r5: every tensor
+    # came back with T == amax * levels/nabs)
+    for i in range(2 * levels, nabs + 1, 4):
         p = ahist[:i].copy()
         p[-1] += ahist[i:].sum()  # clamp outliers into the last kept bin
         splits = np.array_split(p, levels)
