@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--max-new", type=int, default=48)
     ap.add_argument("--multi-step", type=int, nargs="+", default=[8, 16, 32])
     ap.add_argument("--pipeline-depth", type=int, nargs="+", default=[2, 3, 4])
+    ap.add_argument("--slots", type=int, nargs="+", default=None,
+                    help="sweep n_slots instead (fixed multi_step[0]/"
+                         "pipeline_depth[0]); occupancy axis")
     ap.add_argument("--out", default=os.path.join(os.getcwd(), "docs",
                                                   "SERVE_BENCH.md"))
     args = ap.parse_args()
@@ -64,6 +67,34 @@ def main():
     del dense
     jax.block_until_ready(params)
 
+    if args.slots:
+        ms, pd = args.multi_step[0], args.pipeline_depth[0]
+        rows = []
+        for ns in args.slots:
+            dev = device_window_rate(cfg, args.fmt, ms, n_slots=ns)
+            log(f"device window rate k={ms} slots={ns}: {dev:.0f} tok/s")
+            run_one(params, cfg, fmt_name=f"{args.fmt} s={ns} (warm)",
+                    n_requests=8, rate=args.rate, max_new=args.max_new,
+                    multi_step=ms, pipeline_depth=pd, n_slots=ns)
+            m = run_one(
+                params, cfg, fmt_name=f"{args.fmt} slots={ns}",
+                n_requests=args.requests, rate=args.rate,
+                max_new=args.max_new, multi_step=ms, pipeline_depth=pd,
+                n_slots=ns,
+            )
+            rows.append({
+                "n_slots": ns, "tok_s_chip": m["throughput_tok_s"],
+                "device_rate": round(dev, 1),
+                "ttft_p50_ms": m.get("ttft_p50_ms", 0),
+                "ttft_p99_ms": m.get("ttft_p99_ms", 0),
+                "decode_steps": m["decode_steps"],
+            })
+        print(json.dumps({"slots_sweep": rows, "multi_step": ms,
+                          "pipeline_depth": pd,
+                          "requests": args.requests, "rate": args.rate,
+                          "max_new": args.max_new}))
+        return
+
     # device-side ceiling per multi_step (no host in the loop)
     dev_rates = {}
     for ms in args.multi_step:
@@ -73,6 +104,12 @@ def main():
     rows = []
     best = None
     for ms in args.multi_step:
+        # Burn a throwaway trace at this multi_step: the first Engine run
+        # at a new window size pays its jit compiles (~minutes on the
+        # tunnel) and would otherwise pollute the first grid cell.
+        run_one(params, cfg, fmt_name=f"{args.fmt} k={ms} (warm)",
+                n_requests=8, rate=args.rate, max_new=args.max_new,
+                multi_step=ms, pipeline_depth=args.pipeline_depth[0])
         for pd in args.pipeline_depth:
             m = run_one(
                 params, cfg, fmt_name=f"{args.fmt} k={ms} pd={pd}",

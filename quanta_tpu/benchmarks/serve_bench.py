@@ -62,7 +62,6 @@ def run_one(params, cfg, *, fmt_name: str, n_requests: int = 24,
         page_size=16,
         prefill_buckets=(64, 256),
         use_kernel=use_kernel,
-        max_admits_per_step=1,
         kv_quant=kv_quant,
         multi_step=multi_step,
         pipeline_depth=pipeline_depth,

@@ -125,7 +125,7 @@ class Engine:
         use_kernel: Optional[bool] = None,
         top_k: int = 0,
         max_top_k: int = 0,
-        max_admits_per_step: int = 1,
+        max_admits_per_step: Optional[int] = None,
         kv_quant: bool = False,
         rng_seed: int = 0,
         recorder=None,
@@ -145,6 +145,12 @@ class Engine:
         # asking for it are rejected at submit instead of silently ignored).
         self.top_k = top_k
         self.max_top_k = max_top_k
+        # None = admit into every free slot each step (standard continuous
+        # batching). An int bounds how much prefill device time newcomers
+        # can inject between decode windows — a latency knob, NOT the
+        # default: under sustained load a budget of 1 makes admission the
+        # binding constraint (one window+RTT per admission; measured 3-5x
+        # throughput loss at multi_step>=8, docs/SERVE_BENCH.md sweep).
         self.max_admits_per_step = max_admits_per_step
         self.prefill_buckets = tuple(
             sorted({b for b in prefill_buckets if b < cfg.max_seq_len}
@@ -640,7 +646,7 @@ class Engine:
         continuously. If no slot is decoding there is nothing to stall —
         admit until full."""
         budget = self.max_admits_per_step
-        if not any(s.busy for s in self.slots):
+        if budget is None or not any(s.busy for s in self.slots):
             budget = self.n_slots
         while budget > 0 and self._try_admit():
             budget -= 1
