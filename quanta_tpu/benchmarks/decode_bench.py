@@ -25,8 +25,11 @@ Prints ONE JSON line:
    "value": <tok/s>, "unit": "tokens/s/chip", "vs_baseline": <nf4a/bf16>,
    "nf4a_vs_bf16": ..., "nf4_vs_bf16": ...,
    "extra": {decode/prefill/ttft for bf16, nf4, nf4a;
-             "serve": engine tok/s + TTFT p50/p99 for nf4a and llm_int8
-             (continuous batching under a Poisson trace, multi_step=8)}}
+             "serve": engine tok/s + TTFT p50/p99 for nf4a, llm_int8 and
+             int4c (continuous batching under a Poisson trace): the r2-
+             comparable 16-req and 64-req rows at 8 slots/k=8, plus a
+             "tuned" row at the committed sweep optimum (16 slots, k=16
+             windows, saturated arrivals — docs/SERVE_BENCH.md)}}
 """
 
 import json
@@ -196,7 +199,7 @@ def main():
 
         on_tpu = jax.default_backend() == "tpu"
         serve = {}
-        for idx, fmt in enumerate(("nf4a", "llm_int8")):
+        for idx, fmt in enumerate(("nf4a", "llm_int8", "int4c")):
             sparams = qnn.quantize_params(dense, mode=fmt, block_size=64)
             jax.block_until_ready(sparams)
             uk = on_tpu if fmt != "llm_int8" else None
@@ -228,6 +231,19 @@ def main():
                 "tok_s_chip": m64["throughput_tok_s"],
                 "ttft_p50_ms": m64.get("ttft_p50_ms"),
                 "ttft_p99_ms": m64.get("ttft_p99_ms"),
+            }
+            # tuned row: the occupancy/window optimum from the committed
+            # SERVE_BENCH sweeps (16 slots, k=16 windows, pd=2, saturated
+            # arrival stream) — the engine's best sustained configuration
+            mt = run_one(
+                sparams, cfg, fmt_name=f"{fmt}-tuned", n_requests=192,
+                rate=100.0, max_new=64, n_slots=16, multi_step=16,
+                use_kernel=uk,
+            )
+            serve[f"{fmt}_tuned"] = {
+                "tok_s_chip": mt["throughput_tok_s"],
+                "ttft_p50_ms": mt.get("ttft_p50_ms"),
+                "ttft_p99_ms": mt.get("ttft_p99_ms"),
             }
         results["serve"] = serve
     except Exception as e:  # serving bench must not sink the headline

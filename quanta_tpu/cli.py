@@ -235,7 +235,10 @@ def cmd_serve(args):
             prompts = [ln.strip() for ln in f if ln.strip()]
     else:
         prompts = [f"request {i}: the quick brown fox" for i in range(args.n)]
-    eng = Engine(params, cfg, n_slots=args.slots, page_size=args.page_size)
+    eng = Engine(params, cfg, n_slots=args.slots, page_size=args.page_size,
+                 multi_step=args.multi_step,
+                 pipeline_depth=args.pipeline_depth,
+                 kv_quant=args.kv_quant)
     reqs = [
         Request(uid=i, prompt=np.asarray(tok.encode(p), np.int32),
                 max_new_tokens=args.max_new_tokens)
@@ -372,6 +375,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-n", type=int, default=16, help="synthetic request count")
     s.add_argument("--slots", type=int, default=8)
     s.add_argument("--page-size", type=int, default=16)
+    s.add_argument("--multi-step", type=int, default=8,
+                   help="decode-window length (tokens per dispatch)")
+    s.add_argument("--pipeline-depth", type=int, default=2,
+                   help="async readbacks in flight behind the window")
+    s.add_argument("--kv-quant", action="store_true",
+                   help="int8 per-(token,head) quantized KV pool")
     s.add_argument("--max-new-tokens", type=int, default=32)
     s.add_argument("--show", type=int, default=0, help="print first N outputs")
     s.set_defaults(fn=cmd_serve)

@@ -95,6 +95,16 @@ def _set_page(table: jax.Array, slot: jax.Array, idx: jax.Array,
     return table.at[slot, idx].set(page)
 
 
+@jax.jit
+def _set_pages(table: jax.Array, slots: jax.Array, idxs: jax.Array,
+               pages: jax.Array):
+    """Batched form of _set_page: one scatter for a window's worth of page
+    growth (padded to a power of two by REPEATING the last patch, so
+    duplicate entries always carry the same value and the scatter stays
+    deterministic)."""
+    return table.at[slots, idxs].set(pages)
+
+
 @dataclasses.dataclass
 class _Slot:
     request: Optional[Request] = None
@@ -192,6 +202,12 @@ class Engine:
         # previous step's returned positions and the cached page table /
         # sampling params — zero host->device uploads per steady step.
         self._dev = None
+        # (slot, col, page) writes destined for the cached device page
+        # table, applied as ONE batched scatter per dispatch: growth is
+        # the most frequent scheduling event (one page per active slot
+        # per window at multi_step ~= page_size) and per-page eager
+        # patches cost ~1-2 ms host each — ~n_slots ms per window.
+        self._table_patches = []
         self._sched_dirty = True
         # pipelined stepping: each step() dispatches device programs
         # WITHOUT reading them back and keeps up to ``pipeline_depth``
@@ -368,12 +384,10 @@ class Engine:
             col = len(slot.pages) - 1
             self._page_table[slot_id, col] = new_page
             if self._dev is not None and col < self._dev["width"]:
-                # patch the cached device table in place: growth within
-                # the current width bucket keeps the steady-state path
-                self._dev["table"] = _set_page(
-                    self._dev["table"], jnp.int32(slot_id),
-                    jnp.int32(col), jnp.int32(new_page),
-                )
+                # queue a patch for the cached device table: growth within
+                # the current width bucket keeps the steady-state path;
+                # _dispatch applies all queued patches in one scatter
+                self._table_patches.append((slot_id, col, new_page))
             else:
                 self._sched_dirty = True
         return True
@@ -498,6 +512,19 @@ class Engine:
         # scatter into it, windows merge into it): no host readback ever
         # gates a dispatch
         tokens_in = self._tok_row
+        if steady and self._table_patches:
+            p = self._table_patches
+            n = 1 << max(0, len(p) - 1).bit_length()  # few compile shapes
+            p = p + [p[-1]] * (n - len(p))
+            self._dev["table"] = _set_pages(
+                self._dev["table"],
+                jnp.asarray([t[0] for t in p], jnp.int32),
+                jnp.asarray([t[1] for t in p], jnp.int32),
+                jnp.asarray([t[2] for t in p], jnp.int32),
+            )
+        # non-steady dispatches rebuild the table from the (always
+        # current) host copy, superseding any queued patches
+        self._table_patches.clear()
         if steady:
             # zero host->device uploads: every input is the device output
             # of the previous step or an unchanged cached array
